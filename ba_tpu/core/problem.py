@@ -1,0 +1,569 @@
+"""Problem container: structure-of-arrays, static shapes, masks.
+
+TPU-native redesign of the reference's problem graph
+(`/root/reference/include/ba/BundleAdjuster.h:111-753` — `AddPose`,
+`AddLandmark`, `AddProjectionResidual`, `AddUnaryConstraint`,
+`AddBinaryConstraint`, `AddImuResidual`).  Where the reference keeps
+pointer-linked structs with per-pose adjacency lists and a dense/active
+`opt_id` remap, this build keeps *flat padded arrays + index tables + validity
+masks*: every residual row carries the integer ids of the states it touches,
+inactive or padded entries are masked rather than removed, and gauge fixing is
+a per-dimension boolean mask (the reference's `param_mask` +
+`regularize_pose`, BundleAdjuster.h:608-652).  That keeps all shapes static so
+XLA compiles the whole solve once per problem-size bucket.
+
+Compile-time template parameters of the reference
+(`BundleAdjuster<Scalar, LmSize, PoseSize, CalibSize, DoTvs>`,
+src/BundleAdjuster.cpp:1814-1831) become the hashable `BAConfig` passed as a
+static argument to the jitted solver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import camera as cam_mod
+from . import lie
+
+# ---------------------------------------------------------------------------
+# Static configuration (the reference's template parameters + Options)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Static solver configuration; hashable so it can be a jit static arg.
+
+    Mirrors the reference template parameters (SURVEY.md §2.1 "Template
+    configurations") and the runtime `Options<Scalar>`
+    (/root/reference/include/ba/BundleAdjuster.h:72-107).
+    """
+
+    pose_dim: int = 6          # 6 (SE3) | 9 (+vel) | 15 (+gyro/accel bias)
+    lm_size: int = 1           # 0 (pose graph) | 1 (inverse depth) | 3 (XYZ)
+    calib_size: int = 0        # 0 | 5 (camera intrinsics)
+    do_tvs: bool = False       # optimize camera-from-vehicle extrinsics
+
+    # step control
+    use_dogleg: bool = True
+    trust_region_size: float = -1.0       # kTrustRegionAuto
+    dogleg_max_inner_iterations: int = 32
+    error_change_threshold: float = 0.01
+    param_change_threshold: float = 1e-3
+
+    # robust norm
+    use_robust_norm_for_proj_residuals: bool = False
+    use_robust_norm_for_unary_residuals: bool = False
+    use_robust_norm_for_inertial_residuals: bool = False
+    outlier_threshold: float = 1.0
+
+    # IMU noise model (reference Types.h:33-36 defaults)
+    gyro_sigma: float = 1.3088444e-3
+    accel_sigma: float = 1.6968e-2
+    gyro_bias_sigma: float = 1.3088444e-4
+    accel_bias_sigma: float = 1.6968e-3
+    gravity: float = lie.GRAVITY
+
+    regularize_biases_in_batch: bool = True
+    enable_auto_regularization: bool = True
+
+    @property
+    def vel_in_state(self) -> bool:
+        return self.pose_dim >= 9
+
+    @property
+    def bias_in_state(self) -> bool:
+        return self.pose_dim >= 15
+
+    @property
+    def calib_dim(self) -> int:
+        return self.calib_size + (6 if self.do_tvs else 0)
+
+    @property
+    def tvs_offset(self) -> int:
+        return self.calib_size
+
+
+# ---------------------------------------------------------------------------
+# Pytree state containers
+# ---------------------------------------------------------------------------
+
+
+def _pytree_dataclass(cls):
+    cls = dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_pytree_dataclass
+class PoseStates:
+    """All poses (active + inactive), reference `PoseT` (Types.h:41-71)."""
+
+    q: jax.Array          # (P, 4) world-from-vehicle rotation, wxyz
+    t: jax.Array          # (P, 3) world-from-vehicle translation
+    v: jax.Array          # (P, 3) velocity in world
+    b: jax.Array          # (P, 6) [gyro bias, accel bias]
+    time: jax.Array       # (P,)
+    active: jax.Array     # (P,) bool — in the state vector at all
+    mask: jax.Array       # (P, 15) bool — per-dim optimize flag (param_mask)
+
+
+@_pytree_dataclass
+class LandmarkStates:
+    """Landmarks, reference `LandmarkT` (Types.h:73-89).
+
+    `x` is the homogeneous parameterization:
+      lm_size==1: x_s in the reference *sensor* frame, unit ray norm, the
+                  optimized variable is x[3] = inverse depth (rho);
+      lm_size==3: x[:3] = x_w world position, x[3] = 1.
+    `x_w` (world, homogeneous) is kept alongside for conversion in/out.
+    """
+
+    x: jax.Array          # (L, 4)
+    x_w: jax.Array        # (L, 4)
+    ref_pose: jax.Array   # (L,) int32
+    ref_cam: jax.Array    # (L,) int32
+    active: jax.Array     # (L,) bool
+    reliable: jax.Array   # (L,) bool — cleared when inverse depth went negative
+
+
+@_pytree_dataclass
+class Rig:
+    """Cameras: intrinsics + camera-from-vehicle extrinsics T_vs."""
+
+    params: jax.Array     # (C, MAX_PARAMS)
+    model: jax.Array      # (C,) int32 — camera.MODEL_*
+    tvs_q: jax.Array      # (C, 4)
+    tvs_t: jax.Array      # (C, 3)
+
+
+@_pytree_dataclass
+class ProjResiduals:
+    """2D reprojection residual table (ProjectionResidualT, Types.h:255-268)."""
+
+    z: jax.Array          # (Nr, 2) measured pixels
+    pose: jax.Array       # (Nr,) int32 measuring pose id
+    lm: jax.Array         # (Nr,) int32 landmark id
+    cam: jax.Array        # (Nr,) int32 camera id
+    weight: jax.Array     # (Nr,) base weight (before robust reweighting)
+    valid: jax.Array      # (Nr,) bool
+    cond: jax.Array       # (Nr,) bool — conditioning edge (ref pose inactive)
+
+
+@_pytree_dataclass
+class UnaryResiduals:
+    """SE3 pose prior (UnaryResidualT, Types.h:270-281)."""
+
+    pose: jax.Array       # (Nu,) int32
+    q: jax.Array          # (Nu, 4) prior rotation
+    t: jax.Array          # (Nu, 3) prior translation
+    cov_inv: jax.Array    # (Nu, 6, 6) — robust-rescaled in place (§7.4)
+    valid: jax.Array      # (Nu,) bool
+
+
+@_pytree_dataclass
+class BinaryResiduals:
+    """Relative-pose constraint (BinaryResidualT, Types.h:283-296)."""
+
+    pose1: jax.Array      # (Nb,) int32
+    pose2: jax.Array      # (Nb,) int32
+    q: jax.Array          # (Nb, 4) measured T_12 rotation
+    t: jax.Array          # (Nb, 3) measured T_12 translation
+    cov_inv: jax.Array    # (Nb, 6, 6)
+    valid: jax.Array      # (Nb,) bool
+
+
+@_pytree_dataclass
+class ImuResiduals:
+    """IMU preintegration residual spans (ImuResidualT, Types.h:298-321).
+
+    Measurements are padded to a fixed max span length M with a validity
+    mask — the ragged-span analog of the reference's per-residual
+    vector<ImuMeasurementT>.
+    """
+
+    pose1: jax.Array      # (Ni,) int32
+    pose2: jax.Array      # (Ni,) int32
+    w: jax.Array          # (Ni, M, 3) gyro
+    a: jax.Array          # (Ni, M, 3) accel
+    time: jax.Array       # (Ni, M)
+    meas_valid: jax.Array  # (Ni, M) bool
+    weight: jax.Array     # (Ni,) robust weight state (persistent, §7.4)
+    valid: jax.Array      # (Ni,) bool
+    cond: jax.Array       # (Ni,) bool — conditioning edge
+
+
+@_pytree_dataclass
+class Problem:
+    """The whole problem as one pytree of static-shape arrays."""
+
+    poses: PoseStates
+    lms: LandmarkStates
+    rig: Rig
+    proj: ProjResiduals
+    unary: UnaryResiduals
+    binary: BinaryResiduals
+    imu: ImuResiduals
+    g_vec: jax.Array       # (3,) gravity in world
+
+
+# ---------------------------------------------------------------------------
+# Host-side builder (numpy; the Add* API of the reference)
+# ---------------------------------------------------------------------------
+
+
+def _pad(arr, n, fill=0.0):
+    arr = np.asarray(arr)
+    if arr.shape[0] == n:
+        return arr
+    pad_shape = (n - arr.shape[0],) + arr.shape[1:]
+    return np.concatenate([arr, np.full(pad_shape, fill, dtype=arr.dtype)], 0)
+
+
+def _round_up(n, mult):
+    return max(mult, ((n + mult - 1) // mult) * mult)
+
+
+class ProblemBuilder:
+    """Incremental host-side problem construction, then `.build()` to arrays.
+
+    API parity with the reference's Add* surface
+    (BundleAdjuster.h:259-546); padding to static shapes happens at build
+    time so the jitted solver compiles once per size bucket.
+    """
+
+    def __init__(self, config: BAConfig, dtype=np.float64):
+        self.config = config
+        self.dtype = dtype
+        self.cams: list[tuple[np.ndarray, int, np.ndarray, np.ndarray]] = []
+        self.poses: list[dict] = []
+        self.lms: list[dict] = []
+        self.proj: list[dict] = []
+        self.unary: list[dict] = []
+        self.binary: list[dict] = []
+        self.imu: list[dict] = []
+
+    # -- cameras ---------------------------------------------------------
+    def add_camera(self, params, model=cam_mod.MODEL_LINEAR,
+                   tvs_q=(1.0, 0, 0, 0), tvs_t=(0.0, 0, 0)) -> int:
+        p = np.zeros(cam_mod.MAX_PARAMS, self.dtype)
+        p[: len(params)] = params
+        self.cams.append((p, int(model), np.asarray(tvs_q, self.dtype),
+                          np.asarray(tvs_t, self.dtype)))
+        return len(self.cams) - 1
+
+    # -- states ----------------------------------------------------------
+    def add_pose(self, q, t, v=(0.0, 0, 0), b=(0.0,) * 6, active=True,
+                 time=0.0) -> int:
+        self.poses.append(dict(q=np.asarray(q, self.dtype),
+                               t=np.asarray(t, self.dtype),
+                               v=np.asarray(v, self.dtype),
+                               b=np.asarray(b, self.dtype),
+                               active=bool(active), time=float(time)))
+        return len(self.poses) - 1
+
+    def add_landmark(self, x_w, ref_pose: int, ref_cam: int = 0,
+                     active=True) -> int:
+        x_w = np.asarray(x_w, self.dtype)
+        if x_w.shape == (3,):
+            x_w = np.concatenate([x_w, [1.0]])
+        self.lms.append(dict(x_w=x_w, ref_pose=int(ref_pose),
+                             ref_cam=int(ref_cam), active=bool(active)))
+        return len(self.lms) - 1
+
+    # -- residuals -------------------------------------------------------
+    def add_projection_residual(self, z, meas_pose: int, lm: int,
+                                cam: int = 0, weight=1.0):
+        """Skips the reference observation in inverse-depth mode (the
+        residual would be identically zero — BundleAdjuster.h:488-501)."""
+        if self.config.lm_size == 1 and meas_pose == self.lms[lm]["ref_pose"]:
+            return
+        cond = (not self.poses[self.lms[lm]["ref_pose"]]["active"]
+                and self.poses[meas_pose]["active"])
+        self.proj.append(dict(z=np.asarray(z, self.dtype), pose=meas_pose,
+                              lm=lm, cam=cam, weight=float(weight),
+                              cond=cond))
+
+    def add_unary_constraint(self, pose: int, q, t, cov=None):
+        cov_inv = (np.eye(6, dtype=self.dtype) if cov is None
+                   else np.linalg.inv(np.asarray(cov, self.dtype)))
+        self.unary.append(dict(pose=pose, q=np.asarray(q, self.dtype),
+                               t=np.asarray(t, self.dtype), cov_inv=cov_inv))
+
+    def add_binary_constraint(self, pose1: int, pose2: int, q, t, cov=None):
+        cov_inv = (np.eye(6, dtype=self.dtype) if cov is None
+                   else np.linalg.inv(np.asarray(cov, self.dtype)))
+        self.binary.append(dict(pose1=pose1, pose2=pose2,
+                                q=np.asarray(q, self.dtype),
+                                t=np.asarray(t, self.dtype), cov_inv=cov_inv))
+
+    def add_imu_residual(self, pose1: int, pose2: int, w, a, time):
+        cond = (not self.poses[pose1]["active"]
+                and self.poses[pose2]["active"])
+        self.imu.append(dict(pose1=pose1, pose2=pose2,
+                             w=np.asarray(w, self.dtype),
+                             a=np.asarray(a, self.dtype),
+                             time=np.asarray(time, self.dtype), cond=cond))
+
+    # -- build -----------------------------------------------------------
+    def build(self, pad_multiple: int = 1) -> Problem:
+        dt = self.dtype
+        P = _round_up(len(self.poses), pad_multiple)
+        L = _round_up(max(len(self.lms), 1), pad_multiple)
+        C = max(len(self.cams), 1)
+        Nr = _round_up(max(len(self.proj), 1), pad_multiple)
+        Nu = max(len(self.unary), 1)
+        Nb = max(len(self.binary), 1)
+        Ni = max(len(self.imu), 1)
+        M = max([m["w"].shape[0] for m in self.imu] + [1])
+
+        n_p = len(self.poses)
+        poses = PoseStates(
+            q=jnp.asarray(_pad(np.stack([p["q"] for p in self.poses])
+                               if n_p else np.zeros((0, 4), dt), P)
+                          + np.concatenate([np.zeros((min(n_p, P), 4)),
+                                            np.tile([1.0, 0, 0, 0],
+                                                    (P - n_p, 1))])),
+            t=jnp.asarray(_pad(np.stack([p["t"] for p in self.poses])
+                               if n_p else np.zeros((0, 3), dt), P)),
+            v=jnp.asarray(_pad(np.stack([p["v"] for p in self.poses])
+                               if n_p else np.zeros((0, 3), dt), P)),
+            b=jnp.asarray(_pad(np.stack([p["b"] for p in self.poses])
+                               if n_p else np.zeros((0, 6), dt), P)),
+            time=jnp.asarray(_pad(np.array([p["time"] for p in self.poses],
+                                           dt), P)),
+            active=jnp.asarray(_pad(np.array([p["active"]
+                                              for p in self.poses],
+                                             bool), P, False)),
+            mask=jnp.asarray(self._build_param_mask(P)),
+        )
+
+        n_l = len(self.lms)
+        lms = LandmarkStates(
+            x=jnp.zeros((L, 4), dt),  # filled by prepare_landmarks
+            x_w=jnp.asarray(_pad(np.stack([l["x_w"] for l in self.lms])
+                                 if n_l else np.zeros((0, 4), dt), L)),
+            ref_pose=jnp.asarray(_pad(np.array([l["ref_pose"]
+                                                for l in self.lms],
+                                               np.int32), L)),
+            ref_cam=jnp.asarray(_pad(np.array([l["ref_cam"]
+                                               for l in self.lms],
+                                              np.int32), L)),
+            active=jnp.asarray(_pad(np.array([l["active"] for l in self.lms],
+                                             bool), L, False)),
+            reliable=jnp.asarray(_pad(np.ones(n_l, bool), L, False)),
+        )
+
+        if self.cams:
+            cam_arrs = self.cams
+        else:
+            cam_arrs = [(np.zeros(cam_mod.MAX_PARAMS, dt), 0,
+                         np.array([1.0, 0, 0, 0], dt), np.zeros(3, dt))]
+        rig = Rig(
+            params=jnp.asarray(np.stack([c[0] for c in cam_arrs])),
+            model=jnp.asarray(np.array([c[1] for c in cam_arrs], np.int32)),
+            tvs_q=jnp.asarray(np.stack([c[2] for c in cam_arrs])),
+            tvs_t=jnp.asarray(np.stack([c[3] for c in cam_arrs])),
+        )
+
+        n_r = len(self.proj)
+        proj = ProjResiduals(
+            z=jnp.asarray(_pad(np.stack([r["z"] for r in self.proj])
+                               if n_r else np.zeros((0, 2), dt), Nr)),
+            pose=jnp.asarray(_pad(np.array([r["pose"] for r in self.proj],
+                                           np.int32), Nr)),
+            lm=jnp.asarray(_pad(np.array([r["lm"] for r in self.proj],
+                                         np.int32), Nr)),
+            cam=jnp.asarray(_pad(np.array([r["cam"] for r in self.proj],
+                                          np.int32), Nr)),
+            weight=jnp.asarray(_pad(np.array([r["weight"]
+                                              for r in self.proj], dt), Nr)),
+            valid=jnp.asarray(_pad(np.ones(n_r, bool), Nr, False)),
+            cond=jnp.asarray(_pad(np.array([r["cond"] for r in self.proj],
+                                           bool), Nr, False)),
+        )
+
+        n_u = len(self.unary)
+        unary = UnaryResiduals(
+            pose=jnp.asarray(_pad(np.array([r["pose"] for r in self.unary],
+                                           np.int32), Nu)),
+            q=jnp.asarray(_pad(np.stack([r["q"] for r in self.unary])
+                               if n_u else np.zeros((0, 4), dt), Nu)),
+            t=jnp.asarray(_pad(np.stack([r["t"] for r in self.unary])
+                               if n_u else np.zeros((0, 3), dt), Nu)),
+            cov_inv=jnp.asarray(_pad(np.stack([r["cov_inv"]
+                                               for r in self.unary])
+                                     if n_u else np.zeros((0, 6, 6), dt),
+                                     Nu)),
+            valid=jnp.asarray(_pad(np.ones(n_u, bool), Nu, False)),
+        )
+
+        n_b = len(self.binary)
+        binary = BinaryResiduals(
+            pose1=jnp.asarray(_pad(np.array([r["pose1"] for r in self.binary],
+                                            np.int32), Nb)),
+            pose2=jnp.asarray(_pad(np.array([r["pose2"] for r in self.binary],
+                                            np.int32), Nb)),
+            q=jnp.asarray(_pad(np.stack([r["q"] for r in self.binary])
+                               if n_b else np.zeros((0, 4), dt), Nb)),
+            t=jnp.asarray(_pad(np.stack([r["t"] for r in self.binary])
+                               if n_b else np.zeros((0, 3), dt), Nb)),
+            cov_inv=jnp.asarray(_pad(np.stack([r["cov_inv"]
+                                               for r in self.binary])
+                                     if n_b else np.zeros((0, 6, 6), dt),
+                                     Nb)),
+            valid=jnp.asarray(_pad(np.ones(n_b, bool), Nb, False)),
+        )
+
+        n_i = len(self.imu)
+        w_arr = np.zeros((Ni, M, 3), dt)
+        a_arr = np.zeros((Ni, M, 3), dt)
+        t_arr = np.zeros((Ni, M), dt)
+        mv_arr = np.zeros((Ni, M), bool)
+        for i, r in enumerate(self.imu):
+            k = r["w"].shape[0]
+            w_arr[i, :k] = r["w"]
+            a_arr[i, :k] = r["a"]
+            t_arr[i, :k] = r["time"]
+            # pad trailing times with the last time so dt=0 on padded steps
+            t_arr[i, k:] = r["time"][-1] if k else 0.0
+            mv_arr[i, :k] = True
+        imu = ImuResiduals(
+            pose1=jnp.asarray(_pad(np.array([r["pose1"] for r in self.imu],
+                                            np.int32), Ni)),
+            pose2=jnp.asarray(_pad(np.array([r["pose2"] for r in self.imu],
+                                            np.int32), Ni)),
+            w=jnp.asarray(w_arr), a=jnp.asarray(a_arr),
+            time=jnp.asarray(t_arr), meas_valid=jnp.asarray(mv_arr),
+            weight=jnp.ones(Ni, dt),
+            valid=jnp.asarray(_pad(np.ones(n_i, bool), Ni, False)),
+            cond=jnp.asarray(_pad(np.array([r["cond"] for r in self.imu],
+                                           bool), Ni, False)),
+        )
+
+        g = np.array([0.0, 0.0, -self.config.gravity], dt)
+        return Problem(poses=poses, lms=lms, rig=rig, proj=proj, unary=unary,
+                       binary=binary, imu=imu, g_vec=jnp.asarray(g))
+
+    # -- gauge fixing / regularization (reference cpp:1252-1330) ---------
+    def _build_param_mask(self, P):
+        cfg = self.config
+        n_p = len(self.poses)
+        mask = np.zeros((P, 15), dtype=bool)
+        for i, p in enumerate(self.poses):
+            if not p["active"]:
+                continue
+            mask[i, :6] = True
+            if cfg.vel_in_state:
+                mask[i, 6:9] = True
+            if cfg.bias_in_state:
+                mask[i, 9:15] = True
+
+        # poses with no inertial residuals: mask velocity/bias
+        # (reference cpp:1263-1279)
+        has_inertial = np.zeros(n_p, bool)
+        for r in self.imu:
+            has_inertial[r["pose1"]] = True
+            has_inertial[r["pose2"]] = True
+        for i in range(n_p):
+            if not has_inertial[i]:
+                mask[i, 6:15] = False
+
+        # poses with no residuals at all: fully masked (cpp:1252-1258)
+        has_any = has_inertial.copy()
+        for r in self.proj:
+            has_any[r["pose"]] = True
+            has_any[self.lms[r["lm"]]["ref_pose"]] = True
+        for r in self.unary:
+            has_any[r["pose"]] = True
+        for r in self.binary:
+            has_any[r["pose1"]] = True
+            has_any[r["pose2"]] = True
+        for i in range(n_p):
+            if not has_any[i]:
+                mask[i, :] = False
+
+        # auto gauge fixing (cpp:1285-1330): when every pose is active and
+        # there is no unary prior, fix the root pose translation (+biases,
+        # +rotation — fully if no velocity in state, else only the
+        # gravity-aligned axis).
+        all_active = all(p["active"] for p in self.poses) and n_p > 0
+        if (self.config.enable_auto_regularization and all_active
+                and not self.unary):
+            root = 0
+            mask[root, 0:3] = False
+            if cfg.bias_in_state and cfg.regularize_biases_in_batch:
+                mask[root, 9:15] = False
+            if not cfg.vel_in_state:
+                mask[root, 3:6] = False
+            else:
+                # fix the rotation axis most aligned with gravity
+                # (GetGravityRegularizationDimension, h:634-652)
+                q = self.poses[root]["q"]
+                # body z axis in world for each rotation dim: pick argmax of
+                # |R^T g| over the 3 rotation axes
+                w, x, y, z = q
+                R = np.array([
+                    [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                     2 * (x * z + w * y)],
+                    [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                     2 * (y * z - w * x)],
+                    [2 * (x * z - w * y), 2 * (y * z + w * x),
+                     1 - 2 * (x * x + y * y)]])
+                g_body = R.T @ np.array([0.0, 0.0, -1.0])
+                mask[root, 3 + int(np.argmax(np.abs(g_body)))] = False
+        return mask
+
+
+# ---------------------------------------------------------------------------
+# Landmark world<->sensor conversion (Solve prologue/epilogue, cpp:288-296,
+# 672-678)
+# ---------------------------------------------------------------------------
+
+
+def _t_ws(poses: PoseStates, rig: Rig, ref_pose, ref_cam):
+    """World-from-sensor transform of each landmark's reference camera."""
+    q_wv = poses.q[ref_pose]
+    t_wv = poses.t[ref_pose]
+    q_vs = rig.tvs_q[ref_cam]
+    t_vs = rig.tvs_t[ref_cam]
+    return lie.se3_compose((q_wv, t_wv), (q_vs, t_vs))
+
+
+def prepare_landmarks(problem: Problem, config: BAConfig) -> Problem:
+    """x_w -> parameterization `x`.  Inverse-depth mode normalizes the ray to
+    unit length so x[3] is the inverse depth (reference cpp:288-296)."""
+    lms = problem.lms
+    if config.lm_size == 1:
+        T_ws = _t_ws(problem.poses, problem.rig, lms.ref_pose, lms.ref_cam)
+        x_s = lie.se3_transform_homog(lie.se3_inverse(T_ws), lms.x_w)
+        norm = jnp.linalg.norm(x_s[..., :3], axis=-1, keepdims=True)
+        x_s = x_s / jnp.maximum(norm, 1e-12)
+        x = x_s
+    else:
+        x = lms.x_w
+    return dataclasses.replace(problem,
+                               lms=dataclasses.replace(lms, x=x))
+
+
+def finalize_landmarks(problem: Problem, config: BAConfig) -> Problem:
+    """Parameterization `x` -> world x_w (reference cpp:672-678)."""
+    lms = problem.lms
+    if config.lm_size == 1:
+        T_ws = _t_ws(problem.poses, problem.rig, lms.ref_pose, lms.ref_cam)
+        x_w = lie.se3_transform_homog(T_ws, lms.x)
+        # normalize homogeneous so x_w[3] = 1 where depth is finite
+        w = x_w[..., 3:4]
+        safe = jnp.where(jnp.abs(w) < 1e-12, 1.0, w)
+        x_w = jnp.where(jnp.abs(w) < 1e-12, x_w, x_w / safe)
+    else:
+        x_w = lms.x
+    return dataclasses.replace(problem,
+                               lms=dataclasses.replace(lms, x_w=x_w))

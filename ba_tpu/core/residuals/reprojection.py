@@ -1,0 +1,134 @@
+"""Reprojection residuals + Jacobians, batched via vmap(jacfwd).
+
+TPU-native replacement for the reference's serial projection evaluator
+(`ParallelProjectionResiduals::operator()`,
+/root/reference/include/ba/parallel_algos.h:35-152) and its hand-derived
+chain rule through `dt_x_dt ∘ dt1_t2_dt2 ∘ d(inv)exp_decoupled`
+(Utils.h).  Here the residual is written once as a pure function of the
+*tangent perturbation* around the current states (lift-solve-retract), and
+`jax.jacfwd` at delta = 0 produces the exact manifold Jacobians — XLA fuses the
+whole vmapped evaluation into one batched kernel.
+
+Residual (behavioral contract §7.3):
+    r = z - project(T_sv_meas^-1 * T_wv_meas^-1 * T_wv_ref * T_vs_ref * x_s)
+with x_s the homogeneous inverse-depth landmark (lm_size==1) or the world
+point (lm_size==3, chain starts at T_wv_meas^-1).
+
+Tangent layout per residual: [d_meas(6) | d_ref(6) | d_lm(lm_size) |
+d_calib(calib_dim)] — pose tangents are [dt(3), dw(3)] touching only the
+first 6 of up to 15 pose dims (the reference's stride trick becomes simply
+writing the first 6 columns at assembly).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import camera, lie
+from ..problem import BAConfig, Problem
+
+
+class ProjEval(NamedTuple):
+    r: jax.Array        # (Nr, 2)
+    j_meas: jax.Array   # (Nr, 2, 6)
+    j_ref: jax.Array    # (Nr, 2, 6)  (zeros in lm_size==3 mode)
+    j_lm: jax.Array     # (Nr, 2, lm_size) (lm_size>=1)
+    j_cal: jax.Array    # (Nr, 2, calib_dim)
+    err_sq: jax.Array   # (Nr,) squared pixel error (unweighted mahalanobis)
+
+
+def _residual_fn(config: BAConfig):
+    """Per-residual residual-of-tangent function (single example)."""
+    lm = config.lm_size
+    cd = config.calib_dim
+
+    def r_of(delta, z, pose_m, pose_r, x, cam_params, model, tvs):
+        d_m, d_r = delta[0:6], delta[6:12]
+        d_lm = delta[12:12 + lm]
+        d_cal = delta[12 + lm:12 + lm + cd]
+
+        q_m, t_m = lie.se3_retract(pose_m, d_m)
+        params = cam_params
+        if config.calib_size:
+            params = params.at[:config.calib_size].add(
+                d_cal[:config.calib_size])
+        tvs_q, tvs_t = tvs
+        if config.do_tvs:
+            tvs_q, tvs_t = lie.se3_retract((tvs_q, tvs_t),
+                                           d_cal[config.tvs_offset:
+                                                 config.tvs_offset + 6])
+
+        if lm == 1:
+            q_r, t_r = lie.se3_retract(pose_r, d_r)
+            x_s = x.at[3].add(d_lm[0])
+            T_ws_ref = lie.se3_compose((q_r, t_r), (tvs_q, tvs_t))
+            x_w = lie.se3_transform_homog(T_ws_ref, x_s)
+        else:
+            xyz = x[:3] + (d_lm if lm == 3 else 0.0)
+            x_w = jnp.concatenate([xyz, jnp.ones_like(x[3:4])])
+        T_ws_meas = lie.se3_compose((q_m, t_m), (tvs_q, tvs_t))
+        p_s = lie.se3_transform_homog(lie.se3_inverse(T_ws_meas), x_w)
+        pix = camera.project(params, model, p_s[:3])
+        return z - pix
+
+    return r_of
+
+
+def evaluate(problem: Problem, config: BAConfig,
+             with_jacobians: bool = True) -> ProjEval:
+    """Residuals (+ Jacobians) for every row of the projection table.
+
+    Invalid/padded rows produce zeros (the gathered indices still point at
+    row 0, but `valid` masks the outputs).
+    """
+    pr = problem.proj
+    dtype = pr.z.dtype
+    lm_sz = max(config.lm_size, 1)
+    tdim = 12 + config.lm_size + config.calib_dim
+    r_of = _residual_fn(config)
+
+    poses = problem.poses
+    pose_m = (poses.q[pr.pose], poses.t[pr.pose])
+    ref_pose = problem.lms.ref_pose[pr.lm]
+    pose_r = (poses.q[ref_pose], poses.t[ref_pose])
+    x = problem.lms.x[pr.lm]
+    cam_params = problem.rig.params[pr.cam]
+    model = problem.rig.model[pr.cam]
+    tvs = (problem.rig.tvs_q[pr.cam], problem.rig.tvs_t[pr.cam])
+
+    zeros = jnp.zeros((pr.z.shape[0], tdim), dtype)
+
+    def single(delta, z, pm_q, pm_t, prq, prt, xx, cp, md, tq, tt):
+        return r_of(delta, z, (pm_q, pm_t), (prq, prt), xx, cp, md, (tq, tt))
+
+    in_axes = (0,) * 11
+    r = jax.vmap(single, in_axes=in_axes)(
+        zeros, pr.z, pose_m[0], pose_m[1], pose_r[0], pose_r[1], x,
+        cam_params, model, tvs[0], tvs[1])
+
+    valid = pr.valid
+    r = jnp.where(valid[:, None], r, 0.0)
+    err_sq = jnp.sum(r * r, axis=-1)
+
+    if not with_jacobians:
+        z2 = jnp.zeros((pr.z.shape[0], 2, 0), dtype)
+        return ProjEval(r, z2, z2, z2, z2, err_sq)
+
+    J = jax.vmap(jax.jacfwd(single), in_axes=in_axes)(
+        zeros, pr.z, pose_m[0], pose_m[1], pose_r[0], pose_r[1], x,
+        cam_params, model, tvs[0], tvs[1])  # (Nr, 2, tdim)
+    # measuring pose == reference pose contributes no pose gradient
+    # (parallel_algos.h: dz_dx zeroed when meas == ref); also mask invalids.
+    same = (pr.pose == ref_pose) & (config.lm_size == 1)
+    jmask = (valid & ~same)[:, None, None]
+    J = jnp.where(valid[:, None, None], J, 0.0)
+    j_meas = jnp.where(jmask, J[..., 0:6], 0.0)
+    j_ref = jnp.where(jmask, J[..., 6:12], 0.0)
+    j_lm = J[..., 12:12 + config.lm_size]
+    if config.lm_size == 0:
+        j_lm = jnp.zeros((pr.z.shape[0], 2, 0), dtype)
+    j_cal = J[..., 12 + config.lm_size:]
+    return ProjEval(r, j_meas, j_ref, j_lm, j_cal, err_sq)

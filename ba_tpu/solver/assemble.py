@@ -1,0 +1,213 @@
+"""Normal-equation assembly + Schur complement, as dense MXU-friendly algebra.
+
+TPU-native replacement for the reference's block-CCS machinery
+(`SparseBlockMatrix.h` / `SparseBlockMatrixOps.h`) and the JtJ/Schur phase of
+`BundleAdjuster::Solve` (src/BundleAdjuster.cpp:327-644).  Design stance
+(SURVEY.md §8): the problem's sparsity is expressed as *batched dense blocks
+scattered into dense operators*, not pointer-chased block-compressed storage —
+
+  * the per-residual Jacobian blocks are scattered into a dense
+    J (rows, P*D + K) with `.at[].add` (memory-bound, done once);
+  * U = J^T J, W = J^T J_l, rhs = J^T r are plain matmuls that XLA tiles
+    onto the MXU;
+  * V stays block-diagonal as a (L, lm, lm) batch (segment_sum over
+    residuals), inverted in one batched `inv`;
+  * S = U - W V^-1 W^T is again a dense matmul (the reference's
+    `jt_pr_j_l_vi` chain, cpp:448-490).
+
+The reference's pose-dim "stride trick" (6-dof projection blocks into 15-dof
+pose slots, SparseBlockMatrixOps.h:7-38) is simply writing the first 6 columns
+of each D-wide pose block.
+
+Masked parameter dims get their Jacobian columns zeroed and S diagonal set to
+1e6 (reference cpp:586-598, 1622-1629).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import robust
+from ..core.problem import BAConfig, Problem
+from ..core.residuals import prior, reprojection
+from ..utils.linalg import block_diag_inv
+
+
+class Assembly(NamedTuple):
+    S: jax.Array          # (N, N) reduced camera system (masked diag set)
+    rhs_sc: jax.Array     # (N,) Schur-reduced rhs
+    U: jax.Array          # (N, N) pose-pose Hessian (pre-mask-diagonal)
+    rhs_p: jax.Array      # (N,)
+    W: jax.Array          # (N, L*lm) pose-landmark coupling
+    V: jax.Array          # (L, lm, lm)
+    vinv: jax.Array       # (L, lm, lm)
+    rhs_l: jax.Array      # (L*lm,)
+    col_mask: jax.Array   # (N,) bool — optimized dims
+    cost: jax.Array       # scalar — total weighted squared error
+
+
+def _col_mask(problem: Problem, config: BAConfig) -> jax.Array:
+    D = config.pose_dim
+    pm = problem.poses.mask[:, :D] & problem.poses.active[:, None]
+    m = pm.reshape(-1)
+    if config.calib_dim:
+        m = jnp.concatenate(
+            [m, jnp.ones((config.calib_dim,), bool)])
+    return m
+
+
+def _scatter_rows(J_blocks, col_starts, n_cols, row_dim):
+    """Scatter a list of (Nr, row_dim, k) blocks at (Nr,) block col starts
+    into a dense (Nr, row_dim, n_cols) Jacobian."""
+    Nr = J_blocks[0][0].shape[0]
+    dtype = J_blocks[0][0].dtype
+    out = jnp.zeros((Nr, row_dim, n_cols), dtype)
+    r_idx = jnp.arange(Nr)[:, None, None]
+    d_idx = jnp.arange(row_dim)[None, :, None]
+    for blk, start in J_blocks:
+        k = blk.shape[-1]
+        cols = (start[:, None] + jnp.arange(k)[None, :])[:, None, :]
+        out = out.at[r_idx, d_idx, cols].add(blk)
+    return out
+
+
+def assemble(problem: Problem, config: BAConfig,
+             imu_eval=None) -> Assembly:
+    """Build the (Schur-reduced) normal equations at the current state.
+
+    `imu_eval` is an optional precomputed ImuEval (ba_tpu.core.residuals.imu)
+    so the IMU preintegration scan is shared with cost evaluation.
+    """
+    D = config.pose_dim
+    K = config.calib_dim
+    P = problem.poses.q.shape[0]
+    L = problem.lms.x.shape[0]
+    lm = max(config.lm_size, 1)
+    N = P * D + K
+    dtype = problem.poses.t.dtype
+
+    col_mask = _col_mask(problem, config)
+    colm = col_mask.astype(dtype)
+
+    U = jnp.zeros((N, N), dtype)
+    rhs_p = jnp.zeros((N,), dtype)
+    cost = jnp.zeros((), dtype)
+
+    # ---- projections ---------------------------------------------------
+    pe = reprojection.evaluate(problem, config, with_jacobians=True)
+    pr = problem.proj
+    base_w = jnp.where(pr.valid, pr.weight, 0.0)
+    # mahalanobis errors for the robust scale use the base weight
+    err_sq_w = base_w * pe.err_sq
+    if config.use_robust_norm_for_proj_residuals:
+        w_rob = robust.huber_weights(err_sq_w, pr.valid, pr.cond,
+                                     config.outlier_threshold)
+    else:
+        w_rob = jnp.ones_like(base_w)
+    w = base_w * w_rob
+    sw = jnp.sqrt(w)[:, None, None]
+
+    lm_ok = (problem.lms.active & problem.lms.reliable)[pr.lm]
+    j_lm = jnp.where(lm_ok[:, None, None], pe.j_lm, 0.0)
+
+    blocks = [
+        (pe.j_meas * sw, pr.pose.astype(jnp.int32) * D),
+        (pe.j_ref * sw,
+         problem.lms.ref_pose[pr.lm].astype(jnp.int32) * D),
+    ]
+    if K:
+        blocks.append((pe.j_cal * sw,
+                       jnp.full((pr.z.shape[0],), P * D, jnp.int32)))
+    Jp = _scatter_rows(blocks, None, N, 2)          # (Nr, 2, N)
+    Jp = (Jp * colm[None, None, :]).reshape(-1, N)  # mask + flatten rows
+    rw = (pe.r * sw[:, :, 0]).reshape(-1)
+
+    # landmark-side dense Jacobian (Nr, 2, L*lm)
+    j_lm_w = j_lm * sw
+    Nr = pr.z.shape[0]
+    Jl = jnp.zeros((Nr, 2, L * lm), dtype)
+    r_idx = jnp.arange(Nr)[:, None, None]
+    d_idx = jnp.arange(2)[None, :, None]
+    lcols = (pr.lm.astype(jnp.int32)[:, None] * lm
+             + jnp.arange(lm)[None, :])[:, None, :]
+    Jl = Jl.at[r_idx, d_idx, lcols].add(j_lm_w).reshape(-1, L * lm)
+
+    U = U + Jp.T @ Jp
+    rhs_p = rhs_p + Jp.T @ rw
+    W = Jp.T @ Jl                                    # (N, L*lm)
+    rhs_l = Jl.T @ rw                                # (L*lm,)
+    V = jax.ops.segment_sum(
+        jnp.einsum("nik,nil->nkl", j_lm_w, j_lm_w),
+        pr.lm.astype(jnp.int32), num_segments=L)     # (L, lm, lm)
+    cost = cost + jnp.sum(w * pe.err_sq)
+
+    # ---- unary priors --------------------------------------------------
+    ue = prior.evaluate_unary(problem, config, with_jacobians=True)
+    Ju = _scatter_rows([(ue.j1, problem.unary.pose.astype(jnp.int32) * D)],
+                       None, N, 6)
+    Ju = (Ju * colm[None, None, :]).reshape(-1, N)
+    ru = ue.r.reshape(-1)
+    U = U + Ju.T @ Ju
+    rhs_p = rhs_p + Ju.T @ ru
+    cost = cost + jnp.sum(ue.err_sq)
+
+    # ---- binary constraints -------------------------------------------
+    be = prior.evaluate_binary(problem, config, with_jacobians=True)
+    Jb = _scatter_rows(
+        [(be.j1, problem.binary.pose1.astype(jnp.int32) * D),
+         (be.j2, problem.binary.pose2.astype(jnp.int32) * D)],
+        None, N, 6)
+    Jb = (Jb * colm[None, None, :]).reshape(-1, N)
+    rb = be.r.reshape(-1)
+    U = U + Jb.T @ Jb
+    rhs_p = rhs_p + Jb.T @ rb
+    cost = cost + jnp.sum(be.err_sq)
+
+    # ---- IMU -----------------------------------------------------------
+    if imu_eval is not None:
+        ie = imu_eval
+        res_dim = ie.r.shape[-1]
+        Ji = _scatter_rows(
+            [(ie.j1, problem.imu.pose1.astype(jnp.int32) * D),
+             (ie.j2, problem.imu.pose2.astype(jnp.int32) * D)],
+            None, N, res_dim)
+        Ji = (Ji * colm[None, None, :]).reshape(-1, N)
+        ri = ie.r.reshape(-1)
+        U = U + Ji.T @ Ji
+        rhs_p = rhs_p + Ji.T @ ri
+        cost = cost + jnp.sum(ie.err_sq)
+
+    # ---- Schur complement of landmarks --------------------------------
+    vinv = block_diag_inv(V)                         # (L, lm, lm)
+    # scale W's landmark-block columns by V^-1: (N, L, lm) x (L, lm, lm)
+    W3 = W.reshape(N, L, lm)
+    WVi = jnp.einsum("nlk,lkj->nlj", W3, vinv).reshape(N, L * lm)
+    S = U - WVi @ W.T
+    rhs_sc = rhs_p - WVi @ rhs_l
+
+    # masked dims: unit-ish diagonal so the factorization stays SPD
+    # (reference sets s_(idx,idx)=1e6, cpp:586-598)
+    S = S + jnp.diag(jnp.where(col_mask, 0.0, 1e6).astype(dtype))
+    rhs_sc = jnp.where(col_mask, rhs_sc, 0.0)
+
+    return Assembly(S=S, rhs_sc=rhs_sc, U=U, rhs_p=rhs_p, W=W, V=V,
+                    vinv=vinv, rhs_l=rhs_l, col_mask=col_mask, cost=cost)
+
+
+def evaluate_cost(problem: Problem, config: BAConfig, imu_eval=None):
+    """Total weighted squared error without Jacobians (the reference's
+    EvaluateResiduals, cpp:144-236)."""
+    pe = reprojection.evaluate(problem, config, with_jacobians=False)
+    pr = problem.proj
+    base_w = jnp.where(pr.valid, pr.weight, 0.0)
+    cost = jnp.sum(base_w * pe.err_sq)
+    ue = prior.evaluate_unary(problem, config, with_jacobians=False)
+    cost = cost + jnp.sum(ue.err_sq)
+    be = prior.evaluate_binary(problem, config, with_jacobians=False)
+    cost = cost + jnp.sum(be.err_sq)
+    if imu_eval is not None:
+        cost = cost + jnp.sum(imu_eval.err_sq)
+    return cost
