@@ -47,6 +47,7 @@ class Assembly(NamedTuple):
     rhs_l: jax.Array      # (L*lm,)
     col_mask: jax.Array   # (N,) bool — optimized dims
     cost: jax.Array       # scalar — total weighted squared error
+    proj_w: jax.Array     # (Nr,) effective projection weights (base*robust)
 
 
 def _col_mask(problem: Problem, config: BAConfig) -> jax.Array:
@@ -59,8 +60,8 @@ def _col_mask(problem: Problem, config: BAConfig) -> jax.Array:
     return m
 
 
-def _scatter_rows(J_blocks, col_starts, n_cols, row_dim):
-    """Scatter a list of (Nr, row_dim, k) blocks at (Nr,) block col starts
+def _scatter_rows(J_blocks, n_cols, row_dim):
+    """Scatter a list of `(block (Nr, row_dim, k), col_start (Nr,))` pairs
     into a dense (Nr, row_dim, n_cols) Jacobian."""
     Nr = J_blocks[0][0].shape[0]
     dtype = J_blocks[0][0].dtype
@@ -121,7 +122,7 @@ def assemble(problem: Problem, config: BAConfig,
     if K:
         blocks.append((pe.j_cal * sw,
                        jnp.full((pr.z.shape[0],), P * D, jnp.int32)))
-    Jp = _scatter_rows(blocks, None, N, 2)          # (Nr, 2, N)
+    Jp = _scatter_rows(blocks, N, 2)          # (Nr, 2, N)
     Jp = (Jp * colm[None, None, :]).reshape(-1, N)  # mask + flatten rows
     rw = (pe.r * sw[:, :, 0]).reshape(-1)
 
@@ -147,7 +148,7 @@ def assemble(problem: Problem, config: BAConfig,
     # ---- unary priors --------------------------------------------------
     ue = prior.evaluate_unary(problem, config, with_jacobians=True)
     Ju = _scatter_rows([(ue.j1, problem.unary.pose.astype(jnp.int32) * D)],
-                       None, N, 6)
+                       N, 6)
     Ju = (Ju * colm[None, None, :]).reshape(-1, N)
     ru = ue.r.reshape(-1)
     U = U + Ju.T @ Ju
@@ -159,7 +160,7 @@ def assemble(problem: Problem, config: BAConfig,
     Jb = _scatter_rows(
         [(be.j1, problem.binary.pose1.astype(jnp.int32) * D),
          (be.j2, problem.binary.pose2.astype(jnp.int32) * D)],
-        None, N, 6)
+        N, 6)
     Jb = (Jb * colm[None, None, :]).reshape(-1, N)
     rb = be.r.reshape(-1)
     U = U + Jb.T @ Jb
@@ -173,7 +174,7 @@ def assemble(problem: Problem, config: BAConfig,
         Ji = _scatter_rows(
             [(ie.j1, problem.imu.pose1.astype(jnp.int32) * D),
              (ie.j2, problem.imu.pose2.astype(jnp.int32) * D)],
-            None, N, res_dim)
+            N, res_dim)
         Ji = (Ji * colm[None, None, :]).reshape(-1, N)
         ri = ie.r.reshape(-1)
         U = U + Ji.T @ Ji
@@ -194,16 +195,23 @@ def assemble(problem: Problem, config: BAConfig,
     rhs_sc = jnp.where(col_mask, rhs_sc, 0.0)
 
     return Assembly(S=S, rhs_sc=rhs_sc, U=U, rhs_p=rhs_p, W=W, V=V,
-                    vinv=vinv, rhs_l=rhs_l, col_mask=col_mask, cost=cost)
+                    vinv=vinv, rhs_l=rhs_l, col_mask=col_mask, cost=cost,
+                    proj_w=w)
 
 
-def evaluate_cost(problem: Problem, config: BAConfig, imu_eval=None):
+def evaluate_cost(problem: Problem, config: BAConfig, imu_eval=None,
+                  proj_w=None):
     """Total weighted squared error without Jacobians (the reference's
-    EvaluateResiduals, cpp:144-236)."""
+    EvaluateResiduals, cpp:144-236).
+
+    `proj_w` carries the robust weights frozen at BuildProblem time so a
+    trust-region trial compares like against like (the reference evaluates
+    trial costs with the weights set during the last build)."""
     pe = reprojection.evaluate(problem, config, with_jacobians=False)
     pr = problem.proj
-    base_w = jnp.where(pr.valid, pr.weight, 0.0)
-    cost = jnp.sum(base_w * pe.err_sq)
+    if proj_w is None:
+        proj_w = jnp.where(pr.valid, pr.weight, 0.0)
+    cost = jnp.sum(proj_w * pe.err_sq)
     ue = prior.evaluate_unary(problem, config, with_jacobians=False)
     cost = cost + jnp.sum(ue.err_sq)
     be = prior.evaluate_binary(problem, config, with_jacobians=False)

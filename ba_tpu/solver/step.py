@@ -1,0 +1,262 @@
+"""Step control: update application, Gauss-Newton, and Powell dogleg.
+
+Reference: `ApplyUpdate` (src/BundleAdjuster.cpp:21-141), `SolveInternal`
+(cpp:838-1161), `Solve` outer loop (cpp:278-705).  Functional redesign: a
+step *proposal* never mutates the problem — it produces a candidate pytree,
+and "rollback on cost increase" (reference snapshot/restore,
+cpp:1021-1068) is simply not committing the candidate.  The data-dependent
+accept/reject logic runs in a bounded `lax.while_loop`, so a whole outer
+iteration (assemble → factor → trust-region search) is one compiled XLA
+program.
+
+Deviation from the reference, documented per SURVEY.md §7 quirk Q3: the
+dogleg boundary blend uses the textbook root
+beta = (-b + sqrt(b^2 - 4 a c)) / (2 a); the reference's `-(b*b)` variant
+(cpp:1008) is a transcription bug we do not reproduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..core.problem import (BAConfig, Problem, finalize_landmarks,
+                            prepare_landmarks)
+from .assemble import Assembly, assemble, evaluate_cost
+from .linear import GnStep, back_substitute, solve_reduced
+
+
+def _imu_eval(problem: Problem, config: BAConfig, use_imu: bool,
+              with_jacobians: bool):
+    if not use_imu:
+        return None
+    from ..core.residuals import imu as imu_mod
+    return imu_mod.evaluate(problem, config, with_jacobians=with_jacobians)
+
+
+def apply_update(problem: Problem, config: BAConfig, delta_p, delta_l,
+                 scale=1.0) -> Problem:
+    """x <- retract(x, -scale * delta)  (reference ApplyUpdate, cpp:21-141).
+
+    Inverse-depth landmarks whose depth would go negative keep their old
+    value and are marked unreliable (cpp:127-134).
+    """
+    D = config.pose_dim
+    poses = problem.poses
+    P = poses.q.shape[0]
+    dp = delta_p[: P * D].reshape(P, D) * scale
+
+    q, t = lie.se3_retract((poses.q, poses.t), -dp[:, :6])
+    v = poses.v - dp[:, 6:9] if config.vel_in_state else poses.v
+    b = poses.b - dp[:, 9:15] if config.bias_in_state else poses.b
+    poses = dataclasses.replace(poses, q=q, t=t, v=v, b=b)
+
+    lms = problem.lms
+    if config.lm_size:
+        lmsz = config.lm_size
+        L = lms.x.shape[0]
+        dl = delta_l.reshape(L, lmsz) * scale
+        if lmsz == 1:
+            rho_new = lms.x[:, 3] - dl[:, 0]
+            neg = (rho_new < 0) & lms.active
+            x = lms.x.at[:, 3].set(jnp.where(neg, lms.x[:, 3], rho_new))
+            lms = dataclasses.replace(lms, x=x,
+                                      reliable=lms.reliable & ~neg)
+        else:
+            x = lms.x.at[:, :3].add(-dl)
+            lms = dataclasses.replace(lms, x=x)
+
+    rig = problem.rig
+    if config.calib_dim:
+        dk = delta_p[P * D:] * scale
+        if config.calib_size:
+            rig = dataclasses.replace(
+                rig,
+                params=rig.params.at[0, : config.calib_size].add(
+                    -dk[: config.calib_size]))
+        if config.do_tvs:
+            dtvs = dk[config.tvs_offset: config.tvs_offset + 6]
+            q0, t0 = lie.se3_retract((rig.tvs_q[0], rig.tvs_t[0]), -dtvs)
+            rig = dataclasses.replace(rig, tvs_q=rig.tvs_q.at[0].set(q0),
+                                      tvs_t=rig.tvs_t.at[0].set(t0))
+
+    return dataclasses.replace(problem, poses=poses, lms=lms, rig=rig)
+
+
+class IterResult(NamedTuple):
+    problem: Problem        # accepted state (== input if rejected)
+    pre_cost: jax.Array
+    post_cost: jax.Array
+    delta_norm: jax.Array
+    accepted: jax.Array     # bool
+    trust_radius: jax.Array
+
+
+def _cost(problem, config, use_imu, proj_w=None):
+    return evaluate_cost(problem, config,
+                         imu_eval=_imu_eval(problem, config, use_imu, False),
+                         proj_w=proj_w)
+
+
+def _cauchy_factor(asm: Assembly):
+    """alpha = ||rhs||^2 / ||J rhs||^2 over all families (cpp:857-925),
+    with ||J rhs||^2 = rhs^T H rhs computed from the assembled blocks."""
+    L, lm, _ = asm.V.shape
+    rl = asm.rhs_l.reshape(L, lm)
+    num = jnp.sum(asm.rhs_p**2) + jnp.sum(asm.rhs_l**2)
+    den = (asm.rhs_p @ (asm.U @ asm.rhs_p)
+           + 2.0 * asm.rhs_p @ (asm.W @ asm.rhs_l)
+           + jnp.einsum("li,lij,lj->", rl, asm.V, rl))
+    return num / jnp.maximum(den, 1e-30)
+
+
+@partial(jax.jit, static_argnames=("config", "use_imu", "gn_damping",
+                                   "error_increase_allowed"))
+def gn_iteration(problem: Problem, config: BAConfig, use_imu: bool,
+                 gn_damping: float = 1.0,
+                 error_increase_allowed: bool = False) -> IterResult:
+    """One damped Gauss-Newton outer iteration with rollback
+    (reference SolveInternal non-dogleg branch, cpp:1084-1159)."""
+    asm = assemble(problem, config,
+                   imu_eval=_imu_eval(problem, config, use_imu, True))
+    step = solve_reduced(asm)
+    candidate = apply_update(problem, config, step.delta_p, step.delta_l,
+                             scale=gn_damping)
+    post = _cost(candidate, config, use_imu, asm.proj_w)
+    accept = (post <= asm.cost) | jnp.asarray(error_increase_allowed)
+    accept = accept & step.ok
+    out = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accept, a, b), candidate, problem)
+    dn = gn_damping * jnp.sqrt(jnp.sum(step.delta_p**2)
+                               + jnp.sum(step.delta_l**2))
+    return IterResult(problem=out, pre_cost=asm.cost, post_cost=post,
+                      delta_norm=dn, accepted=accept,
+                      trust_radius=jnp.zeros_like(asm.cost))
+
+
+@partial(jax.jit, static_argnames=("config", "use_imu"))
+def dogleg_iteration(problem: Problem, config: BAConfig, use_imu: bool,
+                     trust_radius) -> IterResult:
+    """One dogleg outer iteration: bounded inner trust-region search
+    (reference SolveInternal dogleg branch, cpp:850-1083)."""
+    asm = assemble(problem, config,
+                   imu_eval=_imu_eval(problem, config, use_imu, True))
+    gn = solve_reduced(asm)
+    d_gn = jnp.concatenate([gn.delta_p, gn.delta_l])
+    alpha = _cauchy_factor(asm)
+    d_sd = alpha * jnp.concatenate([asm.rhs_p, asm.rhs_l])
+    norm_gn = jnp.linalg.norm(d_gn)
+    norm_sd = jnp.linalg.norm(d_sd)
+
+    # trust region auto-init to ||d_gn|| (kTrustRegionAuto, cpp:976-978)
+    trust_radius = jnp.where(trust_radius <= 0, norm_gn, trust_radius)
+    Np = asm.rhs_p.shape[0]
+
+    def propose(radius):
+        def sd_case(_):
+            return d_sd * (radius / jnp.maximum(norm_sd, 1e-30))
+
+        def gn_or_blend(_):
+            def blend(_):
+                dd = d_gn - d_sd
+                a = jnp.sum(dd * dd)
+                bq = 2.0 * jnp.sum(d_sd * dd)
+                cq = norm_sd**2 - radius**2
+                disc = jnp.sqrt(jnp.maximum(bq * bq - 4 * a * cq, 0.0))
+                beta = (-bq + disc) / jnp.maximum(2 * a, 1e-30)
+                return d_sd + beta * dd
+
+            return jax.lax.cond(norm_gn <= radius, lambda _: d_gn, blend,
+                                None)
+
+        return jax.lax.cond(norm_sd >= radius, sd_case, gn_or_blend, None)
+
+    def body(state):
+        radius, _, _, _, k = state
+        d = propose(radius)
+        cand = apply_update(problem, config, d[:Np], d[Np:])
+        post = _cost(cand, config, use_imu, asm.proj_w)
+        ok = post < asm.cost
+        new_radius = jnp.where(ok, radius * 2.0, radius * 0.5)
+        return (new_radius, ok, d, post, k + 1)
+
+    def cond(state):
+        _, ok, _, _, k = state
+        return (~ok) & (k < config.dogleg_max_inner_iterations)
+
+    zeros_d = jnp.zeros_like(d_gn)
+    state0 = (trust_radius, jnp.asarray(False), zeros_d, asm.cost,
+              jnp.asarray(0))
+    radius, ok, d, post, _ = jax.lax.while_loop(cond, body, state0)
+
+    candidate = apply_update(problem, config, d[:Np], d[Np:])
+    out = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(ok, a, b), candidate, problem)
+    dn = jnp.linalg.norm(d)
+    return IterResult(problem=out, pre_cost=asm.cost,
+                      post_cost=jnp.where(ok, post, asm.cost),
+                      delta_norm=jnp.where(ok, dn, 0.0), accepted=ok,
+                      trust_radius=radius)
+
+
+@dataclass
+class Summary:
+    """SolutionSummary analog (reference BundleAdjuster.h:48-70)."""
+
+    iterations: int = 0
+    initial_cost: float = 0.0
+    final_cost: float = 0.0
+    delta_norm: float = 0.0
+    result: str = "Success"
+
+    @property
+    def is_good(self) -> bool:
+        return self.result in ("Success", "ErrorChangeBelowThreshold",
+                               "ParamChangeBelowThreshold")
+
+
+def solve(problem: Problem, config: BAConfig, max_iter: int = 10,
+          gn_damping: float = 1.0, error_increase_allowed: bool = False,
+          use_imu: Optional[bool] = None):
+    """Outer solve loop (reference Solve, cpp:278-705): host-side convergence
+    control around jitted whole-iteration programs.
+
+    Returns (problem, Summary).
+    """
+    if use_imu is None:
+        use_imu = bool(jax.device_get(jnp.any(problem.imu.valid)))
+    problem = prepare_landmarks(problem, config)
+    summary = Summary()
+    trust = jnp.asarray(config.trust_region_size, problem.poses.t.dtype)
+    for it in range(max_iter):
+        if config.use_dogleg:
+            res = dogleg_iteration(problem, config, use_imu, trust)
+            trust = res.trust_radius
+        else:
+            res = gn_iteration(problem, config, use_imu, gn_damping,
+                               error_increase_allowed)
+        problem = res.problem
+        pre = float(res.pre_cost)
+        post = float(res.post_cost)
+        if it == 0:
+            summary.initial_cost = pre
+        summary.iterations = it + 1
+        summary.final_cost = post
+        summary.delta_norm = float(res.delta_norm)
+        if not bool(res.accepted):
+            summary.result = "ErrorIncreased"
+            break
+        if pre > 0 and abs(post - pre) / pre < config.error_change_threshold:
+            summary.result = "ErrorChangeBelowThreshold"
+            break
+        if float(res.delta_norm) < config.param_change_threshold:
+            summary.result = "ParamChangeBelowThreshold"
+            break
+    problem = finalize_landmarks(problem, config)
+    return problem, summary
