@@ -319,9 +319,9 @@ class ProblemBuilder:
         L = _round_up(max(len(self.lms), 1), pad_multiple)
         C = max(len(self.cams), 1)
         Nr = _round_up(max(len(self.proj), 1), pad_multiple)
-        Nu = max(len(self.unary), 1)
-        Nb = max(len(self.binary), 1)
-        Ni = max(len(self.imu), 1)
+        Nu = _round_up(max(len(self.unary), 1), pad_multiple)
+        Nb = _round_up(max(len(self.binary), 1), pad_multiple)
+        Ni = _round_up(max(len(self.imu), 1), pad_multiple)
         M = max([m["w"].shape[0] for m in self.imu] + [1])
 
         n_p = len(self.poses)

@@ -11,9 +11,15 @@ scattered into dense operators*, not pointer-chased block-compressed storage —
   * U = J^T J, W = J^T J_l, rhs = J^T r are plain matmuls that XLA tiles
     onto the MXU;
   * V stays block-diagonal as a (L, lm, lm) batch (segment_sum over
-    residuals), inverted in one batched `inv`;
+    residuals), inverted in one batched closed-form inverse;
   * S = U - W V^-1 W^T is again a dense matmul (the reference's
     `jt_pr_j_l_vi` chain, cpp:448-490).
+
+Each residual family produces an additive `Contribution` to the normal
+equations.  Contributions are linear in the residual set, so a device mesh
+can compute them on *shards* of the residual tables and `psum` the partials
+(ba_tpu.parallel.shard) — the distributed backend the reference lacks
+entirely (SURVEY.md §2.4).
 
 The reference's pose-dim "stride trick" (6-dof projection blocks into 15-dof
 pose slots, SparseBlockMatrixOps.h:7-38) is simply writing the first 6 columns
@@ -36,6 +42,18 @@ from ..core.residuals import prior, reprojection
 from ..utils.linalg import block_diag_inv
 
 
+class Contribution(NamedTuple):
+    """Additive partial sums of the normal equations from one residual
+    family (or one shard of one family)."""
+
+    U: jax.Array          # (N, N)
+    rhs_p: jax.Array      # (N,)
+    W: jax.Array          # (N, L*lm)
+    V: jax.Array          # (L, lm, lm)
+    rhs_l: jax.Array      # (L*lm,)
+    cost: jax.Array       # scalar
+
+
 class Assembly(NamedTuple):
     S: jax.Array          # (N, N) reduced camera system (masked diag set)
     rhs_sc: jax.Array     # (N,) Schur-reduced rhs
@@ -50,19 +68,27 @@ class Assembly(NamedTuple):
     proj_w: jax.Array     # (Nr,) effective projection weights (base*robust)
 
 
-def _col_mask(problem: Problem, config: BAConfig) -> jax.Array:
+def dims(problem: Problem, config: BAConfig):
+    D = config.pose_dim
+    K = config.calib_dim
+    P = problem.poses.q.shape[0]
+    L = problem.lms.x.shape[0]
+    lm = max(config.lm_size, 1)
+    return D, K, P, L, lm, P * D + K
+
+
+def col_mask(problem: Problem, config: BAConfig) -> jax.Array:
     D = config.pose_dim
     pm = problem.poses.mask[:, :D] & problem.poses.active[:, None]
     m = pm.reshape(-1)
     if config.calib_dim:
-        m = jnp.concatenate(
-            [m, jnp.ones((config.calib_dim,), bool)])
+        m = jnp.concatenate([m, jnp.ones((config.calib_dim,), bool)])
     return m
 
 
 def _scatter_rows(J_blocks, n_cols, row_dim):
-    """Scatter a list of `(block (Nr, row_dim, k), col_start (Nr,))` pairs
-    into a dense (Nr, row_dim, n_cols) Jacobian."""
+    """Scatter `(block (Nr, row_dim, k), col_start (Nr,))` pairs into a dense
+    (Nr, row_dim, n_cols) Jacobian."""
     Nr = J_blocks[0][0].shape[0]
     dtype = J_blocks[0][0].dtype
     out = jnp.zeros((Nr, row_dim, n_cols), dtype)
@@ -75,33 +101,28 @@ def _scatter_rows(J_blocks, n_cols, row_dim):
     return out
 
 
-def assemble(problem: Problem, config: BAConfig,
-             imu_eval=None) -> Assembly:
-    """Build the (Schur-reduced) normal equations at the current state.
+def _empty_contrib(N, L, lm, dtype) -> Contribution:
+    return Contribution(U=jnp.zeros((N, N), dtype),
+                        rhs_p=jnp.zeros((N,), dtype),
+                        W=jnp.zeros((N, L * lm), dtype),
+                        V=jnp.zeros((L, lm, lm), dtype),
+                        rhs_l=jnp.zeros((L * lm,), dtype),
+                        cost=jnp.zeros((), dtype))
 
-    `imu_eval` is an optional precomputed ImuEval (ba_tpu.core.residuals.imu)
-    so the IMU preintegration scan is shared with cost evaluation.
-    """
-    D = config.pose_dim
-    K = config.calib_dim
-    P = problem.poses.q.shape[0]
-    L = problem.lms.x.shape[0]
-    lm = max(config.lm_size, 1)
-    N = P * D + K
+
+def _add(a: Contribution, b: Contribution) -> Contribution:
+    return Contribution(*(x + y for x, y in zip(a, b)))
+
+
+def proj_contribution(problem: Problem, config: BAConfig, colm):
+    """Projection-family partial sums.  Works identically on a shard of the
+    projection table (all other problem fields replicated)."""
+    D, K, P, L, lm, N = dims(problem, config)
     dtype = problem.poses.t.dtype
 
-    col_mask = _col_mask(problem, config)
-    colm = col_mask.astype(dtype)
-
-    U = jnp.zeros((N, N), dtype)
-    rhs_p = jnp.zeros((N,), dtype)
-    cost = jnp.zeros((), dtype)
-
-    # ---- projections ---------------------------------------------------
     pe = reprojection.evaluate(problem, config, with_jacobians=True)
     pr = problem.proj
     base_w = jnp.where(pr.valid, pr.weight, 0.0)
-    # mahalanobis errors for the robust scale use the base weight
     err_sq_w = base_w * pe.err_sq
     if config.use_robust_norm_for_proj_residuals:
         w_rob = robust.huber_weights(err_sq_w, pr.valid, pr.cond,
@@ -122,11 +143,10 @@ def assemble(problem: Problem, config: BAConfig,
     if K:
         blocks.append((pe.j_cal * sw,
                        jnp.full((pr.z.shape[0],), P * D, jnp.int32)))
-    Jp = _scatter_rows(blocks, N, 2)          # (Nr, 2, N)
-    Jp = (Jp * colm[None, None, :]).reshape(-1, N)  # mask + flatten rows
+    Jp = _scatter_rows(blocks, N, 2)
+    Jp = (Jp * colm[None, None, :]).reshape(-1, N)
     rw = (pe.r * sw[:, :, 0]).reshape(-1)
 
-    # landmark-side dense Jacobian (Nr, 2, L*lm)
     j_lm_w = j_lm * sw
     Nr = pr.z.shape[0]
     Jl = jnp.zeros((Nr, 2, L * lm), dtype)
@@ -136,26 +156,32 @@ def assemble(problem: Problem, config: BAConfig,
              + jnp.arange(lm)[None, :])[:, None, :]
     Jl = Jl.at[r_idx, d_idx, lcols].add(j_lm_w).reshape(-1, L * lm)
 
-    U = U + Jp.T @ Jp
-    rhs_p = rhs_p + Jp.T @ rw
-    W = Jp.T @ Jl                                    # (N, L*lm)
-    rhs_l = Jl.T @ rw                                # (L*lm,)
-    V = jax.ops.segment_sum(
-        jnp.einsum("nik,nil->nkl", j_lm_w, j_lm_w),
-        pr.lm.astype(jnp.int32), num_segments=L)     # (L, lm, lm)
-    cost = cost + jnp.sum(w * pe.err_sq)
+    contrib = Contribution(
+        U=Jp.T @ Jp,
+        rhs_p=Jp.T @ rw,
+        W=Jp.T @ Jl,
+        V=jax.ops.segment_sum(jnp.einsum("nik,nil->nkl", j_lm_w, j_lm_w),
+                              pr.lm.astype(jnp.int32), num_segments=L),
+        rhs_l=Jl.T @ rw,
+        cost=jnp.sum(w * pe.err_sq),
+    )
+    return contrib, w
 
-    # ---- unary priors --------------------------------------------------
+
+def prior_contribution(problem: Problem, config: BAConfig, colm):
+    """Unary + binary pose-graph partial sums."""
+    D, K, P, L, lm, N = dims(problem, config)
+    dtype = problem.poses.t.dtype
+    out = _empty_contrib(N, L, lm, dtype)
+
     ue = prior.evaluate_unary(problem, config, with_jacobians=True)
     Ju = _scatter_rows([(ue.j1, problem.unary.pose.astype(jnp.int32) * D)],
                        N, 6)
     Ju = (Ju * colm[None, None, :]).reshape(-1, N)
     ru = ue.r.reshape(-1)
-    U = U + Ju.T @ Ju
-    rhs_p = rhs_p + Ju.T @ ru
-    cost = cost + jnp.sum(ue.err_sq)
+    out = out._replace(U=out.U + Ju.T @ Ju, rhs_p=out.rhs_p + Ju.T @ ru,
+                       cost=out.cost + jnp.sum(ue.err_sq))
 
-    # ---- binary constraints -------------------------------------------
     be = prior.evaluate_binary(problem, config, with_jacobians=True)
     Jb = _scatter_rows(
         [(be.j1, problem.binary.pose1.astype(jnp.int32) * D),
@@ -163,40 +189,61 @@ def assemble(problem: Problem, config: BAConfig,
         N, 6)
     Jb = (Jb * colm[None, None, :]).reshape(-1, N)
     rb = be.r.reshape(-1)
-    U = U + Jb.T @ Jb
-    rhs_p = rhs_p + Jb.T @ rb
-    cost = cost + jnp.sum(be.err_sq)
+    return out._replace(U=out.U + Jb.T @ Jb, rhs_p=out.rhs_p + Jb.T @ rb,
+                        cost=out.cost + jnp.sum(be.err_sq))
 
-    # ---- IMU -----------------------------------------------------------
-    if imu_eval is not None:
-        ie = imu_eval
-        res_dim = ie.r.shape[-1]
-        Ji = _scatter_rows(
-            [(ie.j1, problem.imu.pose1.astype(jnp.int32) * D),
-             (ie.j2, problem.imu.pose2.astype(jnp.int32) * D)],
-            N, res_dim)
-        Ji = (Ji * colm[None, None, :]).reshape(-1, N)
-        ri = ie.r.reshape(-1)
-        U = U + Ji.T @ Ji
-        rhs_p = rhs_p + Ji.T @ ri
-        cost = cost + jnp.sum(ie.err_sq)
 
-    # ---- Schur complement of landmarks --------------------------------
-    vinv = block_diag_inv(V)                         # (L, lm, lm)
-    # scale W's landmark-block columns by V^-1: (N, L, lm) x (L, lm, lm)
-    W3 = W.reshape(N, L, lm)
+def imu_contribution(problem: Problem, config: BAConfig, colm, imu_eval):
+    D, K, P, L, lm, N = dims(problem, config)
+    dtype = problem.poses.t.dtype
+    out = _empty_contrib(N, L, lm, dtype)
+    ie = imu_eval
+    res_dim = ie.r.shape[-1]
+    Ji = _scatter_rows(
+        [(ie.j1, problem.imu.pose1.astype(jnp.int32) * D),
+         (ie.j2, problem.imu.pose2.astype(jnp.int32) * D)],
+        N, res_dim)
+    Ji = (Ji * colm[None, None, :]).reshape(-1, N)
+    ri = ie.r.reshape(-1)
+    return out._replace(U=out.U + Ji.T @ Ji, rhs_p=out.rhs_p + Ji.T @ ri,
+                        cost=out.cost + jnp.sum(ie.err_sq))
+
+
+def finish(contrib: Contribution, cmask, proj_w) -> Assembly:
+    """Schur-complement the landmark blocks and apply the dim mask."""
+    N = contrib.U.shape[0]
+    L, lm, _ = contrib.V.shape
+    dtype = contrib.U.dtype
+
+    vinv = block_diag_inv(contrib.V)
+    W3 = contrib.W.reshape(N, L, lm)
     WVi = jnp.einsum("nlk,lkj->nlj", W3, vinv).reshape(N, L * lm)
-    S = U - WVi @ W.T
-    rhs_sc = rhs_p - WVi @ rhs_l
+    S = contrib.U - WVi @ contrib.W.T
+    rhs_sc = contrib.rhs_p - WVi @ contrib.rhs_l
 
-    # masked dims: unit-ish diagonal so the factorization stays SPD
-    # (reference sets s_(idx,idx)=1e6, cpp:586-598)
-    S = S + jnp.diag(jnp.where(col_mask, 0.0, 1e6).astype(dtype))
-    rhs_sc = jnp.where(col_mask, rhs_sc, 0.0)
+    S = S + jnp.diag(jnp.where(cmask, 0.0, 1e6).astype(dtype))
+    rhs_sc = jnp.where(cmask, rhs_sc, 0.0)
 
-    return Assembly(S=S, rhs_sc=rhs_sc, U=U, rhs_p=rhs_p, W=W, V=V,
-                    vinv=vinv, rhs_l=rhs_l, col_mask=col_mask, cost=cost,
-                    proj_w=w)
+    return Assembly(S=S, rhs_sc=rhs_sc, U=contrib.U, rhs_p=contrib.rhs_p,
+                    W=contrib.W, V=contrib.V, vinv=vinv,
+                    rhs_l=contrib.rhs_l, col_mask=cmask, cost=contrib.cost,
+                    proj_w=proj_w)
+
+
+def assemble(problem: Problem, config: BAConfig, imu_eval=None) -> Assembly:
+    """Build the (Schur-reduced) normal equations at the current state.
+
+    `imu_eval` is an optional precomputed ImuEval (ba_tpu.core.residuals.imu)
+    so the IMU preintegration scan is shared with cost evaluation.
+    """
+    cmask = col_mask(problem, config)
+    colm = cmask.astype(problem.poses.t.dtype)
+    contrib, w = proj_contribution(problem, config, colm)
+    contrib = _add(contrib, prior_contribution(problem, config, colm))
+    if imu_eval is not None:
+        contrib = _add(contrib,
+                       imu_contribution(problem, config, colm, imu_eval))
+    return finish(contrib, cmask, w)
 
 
 def evaluate_cost(problem: Problem, config: BAConfig, imu_eval=None,
@@ -206,7 +253,8 @@ def evaluate_cost(problem: Problem, config: BAConfig, imu_eval=None,
 
     `proj_w` carries the robust weights frozen at BuildProblem time so a
     trust-region trial compares like against like (the reference evaluates
-    trial costs with the weights set during the last build)."""
+    trial costs with the weights set during the last build).
+    """
     pe = reprojection.evaluate(problem, config, with_jacobians=False)
     pr = problem.proj
     if proj_w is None:
