@@ -133,7 +133,11 @@ def proj_contribution(problem: Problem, config: BAConfig, colm):
     sw = jnp.sqrt(w)[:, None, None]
 
     lm_ok = (problem.lms.active & problem.lms.reliable)[pr.lm]
-    j_lm = jnp.where(lm_ok[:, None, None], pe.j_lm, 0.0)
+    if config.lm_size == 0:
+        # pose-graph-only mode: landmark system is a 1-wide dummy block
+        j_lm = jnp.zeros((pr.z.shape[0], 2, 1), dtype)
+    else:
+        j_lm = jnp.where(lm_ok[:, None, None], pe.j_lm, 0.0)
 
     blocks = [
         (pe.j_meas * sw, pr.pose.astype(jnp.int32) * D),
