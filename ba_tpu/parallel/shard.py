@@ -91,6 +91,10 @@ def sharded_assemble(problem: Problem, config: BAConfig, use_imu: bool,
         local, mesh=mesh,
         in_specs=(in_specs, P()),
         out_specs=(contrib_specs, P(AXIS)),
+        # scan carries initialized from replicated zeros feed shard-varying
+        # updates (IMU covariance propagation); skip the vma consistency
+        # check rather than pcast every init.
+        check_vma=False,
     )(problem, colm)
     return asm.finish(contrib, cmask, w_sharded)
 

@@ -1,0 +1,89 @@
+"""Benchmark harness: keyframes optimized per second per chip.
+
+Runs the flagship visual-inertial BA iteration (reprojection + IMU
+preintegration residuals, Schur-reduced GN) on a simulate_vins-scale
+problem (128 keyframes, 512 landmarks, 10 IMU samples per interval) in f32
+on one chip, and reports steady-state keyframes/s:
+
+    kf_per_s = n_keyframes * iterations / elapsed
+
+`vs_baseline` compares against the recorded single-host CPU (f32, 4-core
+XLA:CPU) measurement of the same program — the reference publishes no
+numbers of its own (BASELINE.md), so the CPU run of this same workload is
+the recorded baseline.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import jax
+
+N_POSES = 128
+N_LMS = 512
+N_ITERS = 10
+
+# CPU f64 measurement of the same workload (see BASELINE.md; re-measure with
+# `python bench.py --cpu`).
+CPU_BASELINE_KF_S = 115.0
+
+
+def build():
+    import numpy as np
+
+    from ba_tpu.core.problem import BAConfig, prepare_landmarks
+    from ba_tpu.io import simulate_vins as sv
+
+    cfg = BAConfig(pose_dim=9, lm_size=1, use_dogleg=False)
+    sim = sv.simulate(n_poses=N_POSES, n_lms=N_LMS, seed=0)
+    problem, _, _ = sv.build_problem(sim, cfg, perturb=0.01, seed=1)
+    if jax.config.jax_enable_x64 is False:
+        problem = jax.tree_util.tree_map(
+            lambda a: a.astype(np.float32)
+            if a.dtype == np.float64 else a, problem)
+    problem = prepare_landmarks(problem, cfg)
+    return problem, cfg
+
+
+def main(platform=None):
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from ba_tpu.solver.step import gn_iteration
+
+    problem, cfg = build()
+
+    def it(p):
+        return gn_iteration(p, cfg, True, 1.0, False)
+
+    # warmup / compile
+    res = it(problem)
+    jax.block_until_ready(res.post_cost)
+
+    t0 = time.perf_counter()
+    p = problem
+    for _ in range(N_ITERS):
+        res = it(p)
+        p = res.problem
+    jax.block_until_ready(res.post_cost)
+    elapsed = time.perf_counter() - t0
+
+    kf_per_s = N_POSES * N_ITERS / elapsed
+    out = {
+        "metric": "vi_ba_keyframes_per_s_per_chip",
+        "value": round(kf_per_s, 2),
+        "unit": "keyframes/s",
+        "vs_baseline": round(kf_per_s / CPU_BASELINE_KF_S, 3),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(platform="cpu" if "--cpu" in sys.argv else None)
