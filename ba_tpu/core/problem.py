@@ -201,6 +201,38 @@ class ImuResiduals:
 
 
 @_pytree_dataclass
+class MargPrior:
+    """Dense marginalization prior over all pose slots (sliding window).
+
+    Quadratic factor at a first-estimate linearization point:
+      E(x) = delta^T H delta + 2 g^T delta,   delta = x (-) lin
+    with the right-tangent difference delta matching the solver retraction.
+    The reference only prototypes this (matlab/marginalization.py:44-51 —
+    prior = Schur complement of the departing block); here it is a
+    first-class residual family (SURVEY.md §5.7).
+    """
+
+    H: jax.Array          # (P*D, P*D)
+    g: jax.Array          # (P*D,)
+    lin_q: jax.Array      # (P, 4)
+    lin_t: jax.Array      # (P, 3)
+    lin_v: jax.Array      # (P, 3)
+    lin_b: jax.Array      # (P, 6)
+    active: jax.Array     # () bool
+
+
+def empty_marg_prior(P: int, pose_dim: int, dtype) -> MargPrior:
+    n = P * pose_dim
+    return MargPrior(H=jnp.zeros((n, n), dtype), g=jnp.zeros((n,), dtype),
+                     lin_q=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype),
+                                    (P, 1)),
+                     lin_t=jnp.zeros((P, 3), dtype),
+                     lin_v=jnp.zeros((P, 3), dtype),
+                     lin_b=jnp.zeros((P, 6), dtype),
+                     active=jnp.zeros((), bool))
+
+
+@_pytree_dataclass
 class Problem:
     """The whole problem as one pytree of static-shape arrays."""
 
@@ -212,6 +244,7 @@ class Problem:
     binary: BinaryResiduals
     imu: ImuResiduals
     g_vec: jax.Array       # (3,) gravity in world
+    marg: MargPrior        # sliding-window marginalization prior
 
 
 # ---------------------------------------------------------------------------
@@ -449,8 +482,12 @@ class ProblemBuilder:
         )
 
         g = np.array([0.0, 0.0, -self.config.gravity], dt)
+        marg = empty_marg_prior(P, self.config.pose_dim, poses.t.dtype)
+        marg = dataclasses.replace(marg, lin_q=poses.q, lin_t=poses.t,
+                                   lin_v=poses.v, lin_b=poses.b)
         return Problem(poses=poses, lms=lms, rig=rig, proj=proj, unary=unary,
-                       binary=binary, imu=imu, g_vec=jnp.asarray(g))
+                       binary=binary, imu=imu, g_vec=jnp.asarray(g),
+                       marg=marg)
 
     # -- gauge fixing / regularization (reference cpp:1252-1330) ---------
     def _build_param_mask(self, P):

@@ -96,6 +96,9 @@ def sharded_assemble(problem: Problem, config: BAConfig, use_imu: bool,
         # check rather than pcast every init.
         check_vma=False,
     )(problem, colm)
+    # marginalization prior is a dense replicated factor — added outside the
+    # sharded region (it is not a sum over residual rows)
+    contrib = asm._add(contrib, asm.marg_contribution(problem, config, colm))
     return asm.finish(contrib, cmask, w_sharded)
 
 

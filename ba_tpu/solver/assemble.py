@@ -234,6 +234,54 @@ def finish(contrib: Contribution, cmask, proj_w) -> Assembly:
                     proj_w=proj_w)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Marginalization prior (sliding window) — see solver/window.py for the
+# marginalization step itself.
+# ---------------------------------------------------------------------------
+
+from ..core import lie as _lie
+
+
+def pose_tangent(poses, marg, pose_dim: int):
+    """delta = x (-) lin, right tangent, flattened (P*pose_dim,)."""
+    dt = poses.t - marg.lin_t
+    dw = _lie.so3_log(_lie.quat_mul(_lie.quat_conj(marg.lin_q), poses.q))
+    parts = [dt, dw]
+    if pose_dim >= 9:
+        parts.append(poses.v - marg.lin_v)
+    if pose_dim >= 15:
+        parts.append(poses.b - marg.lin_b)
+    return jnp.concatenate(parts, axis=-1).reshape(-1)
+
+
+def marg_contribution(problem: Problem, config: BAConfig, colm):
+    """Additive Contribution of the marginalization prior (zero when
+    inactive): U += H, rhs += H delta + g, cost += d^T H d + 2 g^T d."""
+    D, K, P, L, lm, N = dims(problem, config)
+    dtype = problem.poses.t.dtype
+    out = _empty_contrib(N, L, lm, dtype)
+    m = problem.marg
+    n = P * D
+    on = m.active.astype(dtype)
+    delta = pose_tangent(problem.poses, m, D)
+    H = m.H * on
+    grad = H @ delta + m.g * on
+    U = out.U.at[:n, :n].add(H * colm[:n, None] * colm[None, :n])
+    rhs = out.rhs_p.at[:n].add(grad * colm[:n])
+    cost = delta @ H @ delta + 2.0 * (m.g * on) @ delta
+    return out._replace(U=U, rhs_p=rhs, cost=cost)
+
+
+def marg_cost(problem: Problem, config: BAConfig):
+    m = problem.marg
+    dtype = problem.poses.t.dtype
+    on = m.active.astype(dtype)
+    delta = pose_tangent(problem.poses, m, config.pose_dim)
+    return on * (delta @ m.H @ delta + 2.0 * m.g @ delta)
+
+
 def assemble(problem: Problem, config: BAConfig, imu_eval=None) -> Assembly:
     """Build the (Schur-reduced) normal equations at the current state.
 
@@ -247,6 +295,7 @@ def assemble(problem: Problem, config: BAConfig, imu_eval=None) -> Assembly:
     if imu_eval is not None:
         contrib = _add(contrib,
                        imu_contribution(problem, config, colm, imu_eval))
+    contrib = _add(contrib, marg_contribution(problem, config, colm))
     return finish(contrib, cmask, w)
 
 
@@ -270,4 +319,5 @@ def evaluate_cost(problem: Problem, config: BAConfig, imu_eval=None,
     cost = cost + jnp.sum(be.err_sq)
     if imu_eval is not None:
         cost = cost + jnp.sum(imu_eval.err_sq)
+    cost = cost + marg_cost(problem, config)
     return cost
