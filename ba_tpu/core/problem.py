@@ -132,6 +132,9 @@ class LandmarkStates:
     ref_cam: jax.Array    # (L,) int32
     active: jax.Array     # (L,) bool
     reliable: jax.Array   # (L,) bool — cleared when inverse depth went negative
+    z_ref: jax.Array      # (L, 2) reference-view pixel (for self-calib ray
+                          # re-unprojection, reference LandmarkT::z_ref)
+    has_z_ref: jax.Array  # (L,) bool
 
 
 @_pytree_dataclass
@@ -308,7 +311,8 @@ class ProblemBuilder:
         if x_w.shape == (3,):
             x_w = np.concatenate([x_w, [1.0]])
         self.lms.append(dict(x_w=x_w, ref_pose=int(ref_pose),
-                             ref_cam=int(ref_cam), active=bool(active)))
+                             ref_cam=int(ref_cam), active=bool(active),
+                             z_ref=None))
         return len(self.lms) - 1
 
     # -- residuals -------------------------------------------------------
@@ -317,6 +321,10 @@ class ProblemBuilder:
         """Skips the reference observation in inverse-depth mode (the
         residual would be identically zero — BundleAdjuster.h:488-501)."""
         if self.config.lm_size == 1 and meas_pose == self.lms[lm]["ref_pose"]:
+            # record the reference-view pixel: self-calibration re-unprojects
+            # the landmark ray from it when intrinsics move (reference
+            # BundleAdjuster.h:488-501 + ApplyUpdate cpp:58-68)
+            self.lms[lm]["z_ref"] = np.asarray(z, self.dtype)
             return
         cond = (not self.poses[self.lms[lm]["ref_pose"]]["active"]
                 and self.poses[meas_pose]["active"])
@@ -392,6 +400,12 @@ class ProblemBuilder:
             active=jnp.asarray(_pad(np.array([l["active"] for l in self.lms],
                                              bool), L, False)),
             reliable=jnp.asarray(_pad(np.ones(n_l, bool), L, False)),
+            z_ref=jnp.asarray(_pad(np.stack(
+                [l["z_ref"] if l["z_ref"] is not None else np.zeros(2, dt)
+                 for l in self.lms]) if n_l else np.zeros((0, 2), dt), L)),
+            has_z_ref=jnp.asarray(_pad(np.array(
+                [l["z_ref"] is not None for l in self.lms], bool), L,
+                False)),
         )
 
         if self.cams:
@@ -576,14 +590,24 @@ def _t_ws(poses: PoseStates, rig: Rig, ref_pose, ref_cam):
 
 def prepare_landmarks(problem: Problem, config: BAConfig) -> Problem:
     """x_w -> parameterization `x`.  Inverse-depth mode normalizes the ray to
-    unit length so x[3] is the inverse depth (reference cpp:288-296)."""
+    unit length so x[3] is the inverse depth (reference cpp:288-296).
+
+    When the reference-view pixel z_ref is known, the ray *direction* comes
+    from unprojecting it (measurement-consistent even when intrinsics or
+    T_vs are being calibrated); only the depth comes from x_w.
+    """
     lms = problem.lms
     if config.lm_size == 1:
         T_ws = _t_ws(problem.poses, problem.rig, lms.ref_pose, lms.ref_cam)
         x_s = lie.se3_transform_homog(lie.se3_inverse(T_ws), lms.x_w)
-        norm = jnp.linalg.norm(x_s[..., :3], axis=-1, keepdims=True)
-        x_s = x_s / jnp.maximum(norm, 1e-12)
-        x = x_s
+        norm = jnp.maximum(jnp.linalg.norm(x_s[..., :3], axis=-1,
+                                           keepdims=True), 1e-12)
+        x_s = x_s / norm
+        params_l = problem.rig.params[lms.ref_cam]
+        model_l = problem.rig.model[lms.ref_cam]
+        ray = cam_mod.unproject(params_l, model_l, lms.z_ref)
+        x_meas = jnp.concatenate([ray, x_s[..., 3:4]], axis=-1)
+        x = jnp.where(lms.has_z_ref[:, None], x_meas, x_s)
     else:
         x = lms.x_w
     return dataclasses.replace(problem,

@@ -45,7 +45,8 @@ def _residual_fn(config: BAConfig):
     lm = config.lm_size
     cd = config.calib_dim
 
-    def r_of(delta, z, pose_m, pose_r, x, cam_params, model, tvs):
+    def r_of(delta, z, pose_m, pose_r, x, cam_params, model, tvs, z_ref,
+             has_z_ref):
         d_m, d_r = delta[0:6], delta[6:12]
         d_lm = delta[12:12 + lm]
         d_cal = delta[12 + lm:12 + lm + cd]
@@ -64,6 +65,15 @@ def _residual_fn(config: BAConfig):
         if lm == 1:
             q_r, t_r = lie.se3_retract(pose_r, d_r)
             x_s = x.at[3].add(d_lm[0])
+            if config.calib_size:
+                # self-calibration: the ray direction is the unprojection of
+                # the reference-view pixel through the *current* intrinsics,
+                # so the calibration Jacobian carries the direction effect
+                # exactly (the reference instead re-unprojects after each
+                # update, ApplyUpdate cpp:58-68)
+                ray = camera.unproject(params, model, z_ref)
+                x_s = jnp.where(has_z_ref,
+                                jnp.concatenate([ray, x_s[3:4]]), x_s)
             T_ws_ref = lie.se3_compose((q_r, t_r), (tvs_q, tvs_t))
             x_w = lie.se3_transform_homog(T_ws_ref, x_s)
         else:
@@ -98,16 +108,19 @@ def evaluate(problem: Problem, config: BAConfig,
     cam_params = problem.rig.params[pr.cam]
     model = problem.rig.model[pr.cam]
     tvs = (problem.rig.tvs_q[pr.cam], problem.rig.tvs_t[pr.cam])
+    z_ref = problem.lms.z_ref[pr.lm]
+    has_z_ref = problem.lms.has_z_ref[pr.lm]
 
     zeros = jnp.zeros((pr.z.shape[0], tdim), dtype)
 
-    def single(delta, z, pm_q, pm_t, prq, prt, xx, cp, md, tq, tt):
-        return r_of(delta, z, (pm_q, pm_t), (prq, prt), xx, cp, md, (tq, tt))
+    def single(delta, z, pm_q, pm_t, prq, prt, xx, cp, md, tq, tt, zr, hzr):
+        return r_of(delta, z, (pm_q, pm_t), (prq, prt), xx, cp, md,
+                    (tq, tt), zr, hzr)
 
-    in_axes = (0,) * 11
+    in_axes = (0,) * 13
     r = jax.vmap(single, in_axes=in_axes)(
         zeros, pr.z, pose_m[0], pose_m[1], pose_r[0], pose_r[1], x,
-        cam_params, model, tvs[0], tvs[1])
+        cam_params, model, tvs[0], tvs[1], z_ref, has_z_ref)
 
     valid = pr.valid
     r = jnp.where(valid[:, None], r, 0.0)
@@ -119,7 +132,7 @@ def evaluate(problem: Problem, config: BAConfig,
 
     J = jax.vmap(jax.jacfwd(single), in_axes=in_axes)(
         zeros, pr.z, pose_m[0], pose_m[1], pose_r[0], pose_r[1], x,
-        cam_params, model, tvs[0], tvs[1])  # (Nr, 2, tdim)
+        cam_params, model, tvs[0], tvs[1], z_ref, has_z_ref)  # (Nr, 2, tdim)
     # measuring pose == reference pose contributes no pose gradient
     # (parallel_algos.h: dz_dx zeroed when meas == ref); also mask invalids.
     same = (pr.pose == ref_pose) & (config.lm_size == 1)

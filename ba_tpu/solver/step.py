@@ -85,6 +85,18 @@ def apply_update(problem: Problem, config: BAConfig, delta_p, delta_l,
             q0, t0 = lie.se3_retract((rig.tvs_q[0], rig.tvs_t[0]), -dtvs)
             rig = dataclasses.replace(rig, tvs_q=rig.tvs_q.at[0].set(q0),
                                       tvs_t=rig.tvs_t.at[0].set(t0))
+        if config.calib_size and config.lm_size == 1:
+            # intrinsics moved: re-unproject each landmark's ray from its
+            # reference-view pixel, keeping the ray norm (reference
+            # ApplyUpdate, cpp:58-68)
+            from ..core import camera as cam_mod
+            params_l = rig.params[lms.ref_cam]
+            model_l = rig.model[lms.ref_cam]
+            ray = cam_mod.unproject(params_l, model_l, lms.z_ref)
+            norm = jnp.linalg.norm(lms.x[:, :3], axis=-1, keepdims=True)
+            x_new = lms.x.at[:, :3].set(ray * norm)
+            use = (lms.has_z_ref & lms.active)[:, None]
+            lms = dataclasses.replace(lms, x=jnp.where(use, x_new, lms.x))
 
     return dataclasses.replace(problem, poses=poses, lms=lms, rig=rig)
 

@@ -1,0 +1,119 @@
+"""Self-calibration (CalibSize=5, DoTvs) and 15-dof bias estimation tests —
+the reference template configurations <R,1,6,5>, <R,1,15,0,true>, <R,1,15,5>
+(src/BundleAdjuster.cpp:1814-1831)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ba_tpu.core import camera, lie
+from ba_tpu.core.problem import BAConfig, ProblemBuilder
+from ba_tpu.io import simulate_vins as sv
+from ba_tpu.solver import linear as linear_mod
+from ba_tpu.solver import step as step_mod
+from ba_tpu.solver import assemble as asm_mod
+
+from test_solver_reprojection import make_scene, FOV
+
+
+def _scene_with_calib_error(calib_err, n_poses=10, n_lms=60, seed=0):
+    """Noiseless scene; the builder camera gets perturbed intrinsics."""
+    import test_solver_reprojection as tsr
+
+    # generate the observations with the TRUE camera, then rebuild the
+    # problem with a wrong initial camera
+    problem, cfg = tsr.make_scene(n_poses=n_poses, n_lms=n_lms, seed=seed,
+                                  perturb=0.0)
+    cfg = dataclasses.replace(cfg, calib_size=5, use_dogleg=False,
+                              error_change_threshold=0.0,
+                              param_change_threshold=1e-10)
+    params = np.asarray(problem.rig.params).copy()
+    params[0, :5] = params[0, :5] + calib_err
+    rig = dataclasses.replace(problem.rig, params=jnp.asarray(params))
+    return dataclasses.replace(problem, rig=rig), cfg
+
+
+def test_intrinsics_recovered():
+    err = np.array([3.0, -2.5, 4.0, -3.0, 0.02])
+    problem, cfg = _scene_with_calib_error(err)
+    solved, summary = step_mod.solve(problem, cfg, max_iter=30,
+                                     use_imu=False)
+    got = np.asarray(solved.rig.params[0, :5])
+    np.testing.assert_allclose(got, FOV, atol=2e-2)
+    assert summary.final_cost < 1e-4, summary
+
+
+def test_calibration_marginals():
+    err = np.array([1.0, -1.0, 2.0, -1.0, 0.01])
+    problem, cfg = _scene_with_calib_error(err)
+    solved, _ = step_mod.solve(problem, cfg, max_iter=20, use_imu=False)
+    from ba_tpu.core.problem import prepare_landmarks
+    p = prepare_landmarks(solved, cfg)
+    asm = asm_mod.assemble(p, cfg)
+    cov_k = np.asarray(linear_mod.calibration_marginals(asm, cfg.calib_dim))
+    assert cov_k.shape == (5, 5)
+    # marginal covariance of a well-constrained calibration is SPD and small
+    w = np.linalg.eigvalsh((cov_k + cov_k.T) / 2)
+    assert w.min() > 0
+    assert np.isfinite(w).all() and w.max() < 1e4
+
+
+def test_tvs_joint_optimization_converges():
+    """DoTvs mode: joint optimization over poses/landmarks/extrinsic drives
+    the cost to machine zero from a perturbed T_vs.
+
+    Note: with vision only, T_vs has gauge directions (the vehicle frame is
+    an internal convention — only T_ws = T_wv * T_vs is observed), so the
+    recovered T_vs need not equal the generator's; full observability needs
+    the IMU to pin the vehicle frame (the reference couples DoTvs with
+    PoseSize 15 for the same reason, cpp:1814-1831).
+    """
+    import test_solver_reprojection as tsr
+
+    problem, cfg = tsr.make_scene(n_poses=10, n_lms=60, perturb=0.0)
+    cfg = dataclasses.replace(cfg, do_tvs=True, use_dogleg=True,
+                              error_change_threshold=0.0,
+                              param_change_threshold=1e-12)
+    dq = np.asarray(lie.so3_exp(jnp.asarray([0.01, -0.02, 0.015])))
+    rig = dataclasses.replace(
+        problem.rig,
+        tvs_q=jnp.asarray(dq)[None, :],
+        tvs_t=jnp.asarray(np.array([[0.02, -0.03, 0.01]])))
+    problem = dataclasses.replace(problem, rig=rig)
+    solved, summary = step_mod.solve(problem, cfg, max_iter=40,
+                                     use_imu=False)
+    assert summary.final_cost < 1e-10, summary
+
+
+def test_bias_estimation_15dof():
+    """<R,0,15,...> analog: constant gyro/accel sensor biases recovered from
+    IMU spans + pose priors."""
+    from test_imu import _simulate_trajectory, g_vec
+
+    pose_times, spans, gt = _simulate_trajectory(n_poses=8)
+    b_true = np.array([0.004, -0.006, 0.003, 0.05, -0.04, 0.06])
+    cfg = BAConfig(pose_dim=15, lm_size=0, use_dogleg=False,
+                   error_change_threshold=0.0, param_change_threshold=1e-10,
+                   enable_auto_regularization=False)
+    b = ProblemBuilder(cfg)
+    ids = []
+    for i, t in enumerate(pose_times):
+        # every pose active (an inactive anchor would freeze its wrong
+        # zero bias into the first residual)
+        ids.append(b.add_pose(gt["q"][i], gt["p"][i], v=gt["v"][i],
+                              b=np.zeros(6), active=True, time=t))
+    for i, (w, a, ts) in enumerate(spans):
+        # sensor with constant bias: meas = true - b  (estimator convention
+        # corrected = meas + b)
+        b.add_imu_residual(ids[i], ids[i + 1], w - b_true[:3],
+                           a - b_true[3:], ts)
+    for i in range(len(ids)):
+        b.add_unary_constraint(ids[i], gt["q"][i], gt["p"][i],
+                               cov=np.eye(6) * 1e-4)
+    problem = b.build()
+    solved, summary = step_mod.solve(problem, cfg, max_iter=25, use_imu=True)
+    assert summary.final_cost < summary.initial_cost * 1e-6, summary
+    for i in range(8):
+        np.testing.assert_allclose(np.asarray(solved.poses.b[i]), b_true,
+                                   atol=5e-3)
