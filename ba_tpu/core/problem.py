@@ -438,11 +438,14 @@ class ProblemBuilder:
         )
 
         n_u = len(self.unary)
+        id_q = np.tile(np.array([1.0, 0, 0, 0], dt), (Nu, 1))
+        q_u = np.stack([r["q"] for r in self.unary]) if n_u else \
+            np.zeros((0, 4), dt)
+        id_q[:n_u] = q_u
         unary = UnaryResiduals(
             pose=jnp.asarray(_pad(np.array([r["pose"] for r in self.unary],
                                            np.int32), Nu)),
-            q=jnp.asarray(_pad(np.stack([r["q"] for r in self.unary])
-                               if n_u else np.zeros((0, 4), dt), Nu)),
+            q=jnp.asarray(id_q),
             t=jnp.asarray(_pad(np.stack([r["t"] for r in self.unary])
                                if n_u else np.zeros((0, 3), dt), Nu)),
             cov_inv=jnp.asarray(_pad(np.stack([r["cov_inv"]
@@ -453,13 +456,16 @@ class ProblemBuilder:
         )
 
         n_b = len(self.binary)
+        id_qb = np.tile(np.array([1.0, 0, 0, 0], dt), (Nb, 1))
+        q_b = np.stack([r["q"] for r in self.binary]) if n_b else \
+            np.zeros((0, 4), dt)
+        id_qb[:n_b] = q_b
         binary = BinaryResiduals(
             pose1=jnp.asarray(_pad(np.array([r["pose1"] for r in self.binary],
                                             np.int32), Nb)),
             pose2=jnp.asarray(_pad(np.array([r["pose2"] for r in self.binary],
                                             np.int32), Nb)),
-            q=jnp.asarray(_pad(np.stack([r["q"] for r in self.binary])
-                               if n_b else np.zeros((0, 4), dt), Nb)),
+            q=jnp.asarray(id_qb),
             t=jnp.asarray(_pad(np.stack([r["t"] for r in self.binary])
                                if n_b else np.zeros((0, 3), dt), Nb)),
             cov_inv=jnp.asarray(_pad(np.stack([r["cov_inv"]

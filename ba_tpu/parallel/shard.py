@@ -60,11 +60,10 @@ def problem_shardings(problem: Problem, mesh: Mesh):
 def sharded_assemble(problem: Problem, config: BAConfig, use_imu: bool,
                      mesh: Mesh):
     """Assembly with residual-sharded partial sums + psum, inside shard_map."""
+    D, K, Pn, L, lm, N = asm.dims(problem, config)
     cmask = asm.col_mask(problem, config)
     colm = cmask.astype(problem.poses.t.dtype)
-
-    state_spec = P()
-    row_spec = jax.tree_util.tree_map(lambda _: P(AXIS), None)
+    colm6 = asm.col_mask(problem, config, 6).astype(problem.poses.t.dtype)
 
     in_specs = dataclasses.replace(
         jax.tree_util.tree_map(lambda _: P(), problem),
@@ -74,28 +73,32 @@ def sharded_assemble(problem: Problem, config: BAConfig, use_imu: bool,
         imu=jax.tree_util.tree_map(lambda _: P(AXIS), problem.imu),
     )
 
-    def local(problem_shard, colm_):
-        contrib, w = asm.proj_contribution(problem_shard, config, colm_)
-        contrib = asm._add(
-            contrib, asm.prior_contribution(problem_shard, config, colm_))
+    def local(problem_shard, colm_, colm6_):
+        comp, w = asm.proj_contribution(problem_shard, config, colm6_)
+        comp = asm._add(
+            comp, asm.prior_contribution(problem_shard, config, colm6_))
         if use_imu:
             ie = _imu_eval(problem_shard, config, True, True)
-            contrib = asm._add(
-                contrib,
-                asm.imu_contribution(problem_shard, config, colm_, ie))
-        contrib = jax.lax.psum(contrib, AXIS)
-        return contrib, w
+            full = asm.imu_contribution(problem_shard, config, colm_, ie)
+        else:
+            full = asm._empty_contrib(N, L, lm, problem_shard.poses.t.dtype)
+        # psum the *compact* projection/prior sums (less ICI traffic), the
+        # full-width IMU sums separately
+        comp = jax.lax.psum(comp, AXIS)
+        full = jax.lax.psum(full, AXIS)
+        return comp, full, w
 
     contrib_specs = asm.Contribution(*([P()] * 6))
-    contrib, w_sharded = jax.shard_map(
+    comp, full, w_sharded = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(in_specs, P()),
-        out_specs=(contrib_specs, P(AXIS)),
+        in_specs=(in_specs, P(), P()),
+        out_specs=(contrib_specs, contrib_specs, P(AXIS)),
         # scan carries initialized from replicated zeros feed shard-varying
         # updates (IMU covariance propagation); skip the vma consistency
         # check rather than pcast every init.
         check_vma=False,
-    )(problem, colm)
+    )(problem, colm, colm6)
+    contrib = asm._add(asm.expand_contribution(comp, Pn, D, K), full)
     # marginalization prior is a dense replicated factor — added outside the
     # sharded region (it is not a sum over residual rows)
     contrib = asm._add(contrib, asm.marg_contribution(problem, config, colm))

@@ -6,8 +6,9 @@ TPU-native replacement for the reference's block-CCS machinery
 (SURVEY.md §8): the problem's sparsity is expressed as *batched dense blocks
 scattered into dense operators*, not pointer-chased block-compressed storage —
 
-  * the per-residual Jacobian blocks are scattered into a dense
-    J (rows, P*D + K) with `.at[].add` (memory-bound, done once);
+  * the per-residual Jacobian blocks are scatter-placed into a dense
+    J (rows, P*6 + K) — projections/priors assemble at pose width 6 and
+    pad-expand once (the reference's stride trick, the XLA way);
   * U = J^T J, W = J^T J_l, rhs = J^T r are plain matmuls that XLA tiles
     onto the MXU;
   * V stays block-diagonal as a (L, lm, lm) batch (segment_sum over
@@ -77,8 +78,10 @@ def dims(problem: Problem, config: BAConfig):
     return D, K, P, L, lm, P * D + K
 
 
-def col_mask(problem: Problem, config: BAConfig) -> jax.Array:
-    D = config.pose_dim
+def col_mask(problem: Problem, config: BAConfig, width=None) -> jax.Array:
+    """Optimized-dim mask; `width` selects a compact pose width (e.g. 6 for
+    the projection/prior compact system)."""
+    D = width or config.pose_dim
     pm = problem.poses.mask[:, :D] & problem.poses.active[:, None]
     m = pm.reshape(-1)
     if config.calib_dim:
@@ -86,19 +89,54 @@ def col_mask(problem: Problem, config: BAConfig) -> jax.Array:
     return m
 
 
-def _scatter_rows(J_blocks, n_cols, row_dim):
-    """Scatter `(block (Nr, row_dim, k), col_start (Nr,))` pairs into a dense
-    (Nr, row_dim, n_cols) Jacobian."""
-    Nr = J_blocks[0][0].shape[0]
-    dtype = J_blocks[0][0].dtype
-    out = jnp.zeros((Nr, row_dim, n_cols), dtype)
+def _dense_rows(pose_blocks, P, D, K, calib_block=None):
+    """Build the dense per-residual Jacobian (Nr, rdim, P*D [+K]) from pose
+    blocks `(J (Nr, rdim, k<=D), pose_idx (Nr,))` by scatter-add.
+
+    (Measured on TPU: the scatter fuses well here and beats a one-hot
+    outer-product formulation 2x — the latter materializes the 90MB
+    intermediate twice.)
+    """
+    J0, _ = pose_blocks[0]
+    Nr, rdim, _ = J0.shape
+    dtype = J0.dtype
+    out = jnp.zeros((Nr, rdim, P * D), dtype)
     r_idx = jnp.arange(Nr)[:, None, None]
-    d_idx = jnp.arange(row_dim)[None, :, None]
-    for blk, start in J_blocks:
+    d_idx = jnp.arange(rdim)[None, :, None]
+    for blk, idx in pose_blocks:
         k = blk.shape[-1]
-        cols = (start[:, None] + jnp.arange(k)[None, :])[:, None, :]
+        cols = (idx[:, None] * D + jnp.arange(k)[None, :])[:, None, :]
         out = out.at[r_idx, d_idx, cols].add(blk)
+    if K:
+        cal = calib_block if calib_block is not None else \
+            jnp.zeros((Nr, rdim, K), dtype)
+        out = jnp.concatenate([out, cal], axis=-1)
     return out
+
+
+def expand_contribution(c: Contribution, P: int, D: int, K: int,
+                        D_c: int = 6) -> Contribution:
+    """Expand a compact (P*D_c + K)-dim pose system into (P*D + K) dims.
+
+    Projection/prior Jacobians only touch the first 6 of up to 15 pose dims
+    (the reference's stride trick, SparseBlockMatrixOps.h:7-38); assembling
+    them at width 6 and pad-expanding once cuts the dominant J^T J matmul
+    flops by (D/6)^2.
+    """
+    if D == D_c:
+        return c
+    n_c = P * D_c
+
+    def expand_rows(M):
+        # (P*D_c + K, X) -> (P*D + K, X)
+        pose = M[:n_c].reshape(P, D_c, -1)
+        pose = jnp.pad(pose, ((0, 0), (0, D - D_c), (0, 0)))
+        return jnp.concatenate([pose.reshape(P * D, -1), M[n_c:]], axis=0)
+
+    U = expand_rows(expand_rows(c.U).T).T
+    rhs_p = expand_rows(c.rhs_p[:, None])[:, 0]
+    W = expand_rows(c.W)
+    return c._replace(U=U, rhs_p=rhs_p, W=W)
 
 
 def _empty_contrib(N, L, lm, dtype) -> Contribution:
@@ -114,10 +152,13 @@ def _add(a: Contribution, b: Contribution) -> Contribution:
     return Contribution(*(x + y for x, y in zip(a, b)))
 
 
-def proj_contribution(problem: Problem, config: BAConfig, colm):
-    """Projection-family partial sums.  Works identically on a shard of the
-    projection table (all other problem fields replicated)."""
-    D, K, P, L, lm, N = dims(problem, config)
+def proj_contribution(problem: Problem, config: BAConfig, colm6):
+    """Projection-family partial sums in the *compact* width-6 pose system
+    (expand with `expand_contribution`).  Works identically on a shard of
+    the projection table (all other problem fields replicated)."""
+    D_full, K, P, L, lm, _ = dims(problem, config)
+    D = 6
+    N = P * D + K
     dtype = problem.poses.t.dtype
 
     pe = reprojection.evaluate(problem, config, with_jacobians=True)
@@ -140,15 +181,12 @@ def proj_contribution(problem: Problem, config: BAConfig, colm):
         j_lm = jnp.where(lm_ok[:, None, None], pe.j_lm, 0.0)
 
     blocks = [
-        (pe.j_meas * sw, pr.pose.astype(jnp.int32) * D),
-        (pe.j_ref * sw,
-         problem.lms.ref_pose[pr.lm].astype(jnp.int32) * D),
+        (pe.j_meas * sw, pr.pose.astype(jnp.int32)),
+        (pe.j_ref * sw, problem.lms.ref_pose[pr.lm].astype(jnp.int32)),
     ]
-    if K:
-        blocks.append((pe.j_cal * sw,
-                       jnp.full((pr.z.shape[0],), P * D, jnp.int32)))
-    Jp = _scatter_rows(blocks, N, 2)
-    Jp = (Jp * colm[None, None, :]).reshape(-1, N)
+    Jp = _dense_rows(blocks, P, D, K,
+                     calib_block=(pe.j_cal * sw) if K else None)
+    Jp = (Jp * colm6[None, None, :]).reshape(-1, N)
     rw = (pe.r * sw[:, :, 0]).reshape(-1)
 
     j_lm_w = j_lm * sw
@@ -172,26 +210,28 @@ def proj_contribution(problem: Problem, config: BAConfig, colm):
     return contrib, w
 
 
-def prior_contribution(problem: Problem, config: BAConfig, colm):
-    """Unary + binary pose-graph partial sums."""
-    D, K, P, L, lm, N = dims(problem, config)
+def prior_contribution(problem: Problem, config: BAConfig, colm6):
+    """Unary + binary pose-graph partial sums (compact width-6 system)."""
+    D_full, K, P, L, lm, _ = dims(problem, config)
+    D = 6
+    N = P * D + K
     dtype = problem.poses.t.dtype
     out = _empty_contrib(N, L, lm, dtype)
 
     ue = prior.evaluate_unary(problem, config, with_jacobians=True)
-    Ju = _scatter_rows([(ue.j1, problem.unary.pose.astype(jnp.int32) * D)],
-                       N, 6)
-    Ju = (Ju * colm[None, None, :]).reshape(-1, N)
+    Ju = _dense_rows([(ue.j1, problem.unary.pose.astype(jnp.int32))],
+                     P, D, K)
+    Ju = (Ju * colm6[None, None, :]).reshape(-1, N)
     ru = ue.r.reshape(-1)
     out = out._replace(U=out.U + Ju.T @ Ju, rhs_p=out.rhs_p + Ju.T @ ru,
                        cost=out.cost + jnp.sum(ue.err_sq))
 
     be = prior.evaluate_binary(problem, config, with_jacobians=True)
-    Jb = _scatter_rows(
-        [(be.j1, problem.binary.pose1.astype(jnp.int32) * D),
-         (be.j2, problem.binary.pose2.astype(jnp.int32) * D)],
-        N, 6)
-    Jb = (Jb * colm[None, None, :]).reshape(-1, N)
+    Jb = _dense_rows(
+        [(be.j1, problem.binary.pose1.astype(jnp.int32)),
+         (be.j2, problem.binary.pose2.astype(jnp.int32))],
+        P, D, K)
+    Jb = (Jb * colm6[None, None, :]).reshape(-1, N)
     rb = be.r.reshape(-1)
     return out._replace(U=out.U + Jb.T @ Jb, rhs_p=out.rhs_p + Jb.T @ rb,
                         cost=out.cost + jnp.sum(be.err_sq))
@@ -202,11 +242,10 @@ def imu_contribution(problem: Problem, config: BAConfig, colm, imu_eval):
     dtype = problem.poses.t.dtype
     out = _empty_contrib(N, L, lm, dtype)
     ie = imu_eval
-    res_dim = ie.r.shape[-1]
-    Ji = _scatter_rows(
-        [(ie.j1, problem.imu.pose1.astype(jnp.int32) * D),
-         (ie.j2, problem.imu.pose2.astype(jnp.int32) * D)],
-        N, res_dim)
+    Ji = _dense_rows(
+        [(ie.j1, problem.imu.pose1.astype(jnp.int32)),
+         (ie.j2, problem.imu.pose2.astype(jnp.int32))],
+        P, D, K)
     Ji = (Ji * colm[None, None, :]).reshape(-1, N)
     ri = ie.r.reshape(-1)
     return out._replace(U=out.U + Ji.T @ Ji, rhs_p=out.rhs_p + Ji.T @ ri,
@@ -288,10 +327,13 @@ def assemble(problem: Problem, config: BAConfig, imu_eval=None) -> Assembly:
     `imu_eval` is an optional precomputed ImuEval (ba_tpu.core.residuals.imu)
     so the IMU preintegration scan is shared with cost evaluation.
     """
+    D, K, P, L, lm, N = dims(problem, config)
     cmask = col_mask(problem, config)
     colm = cmask.astype(problem.poses.t.dtype)
-    contrib, w = proj_contribution(problem, config, colm)
-    contrib = _add(contrib, prior_contribution(problem, config, colm))
+    colm6 = col_mask(problem, config, 6).astype(problem.poses.t.dtype)
+    comp, w = proj_contribution(problem, config, colm6)
+    comp = _add(comp, prior_contribution(problem, config, colm6))
+    contrib = expand_contribution(comp, P, D, K)
     if imu_eval is not None:
         contrib = _add(contrib,
                        imu_contribution(problem, config, colm, imu_eval))

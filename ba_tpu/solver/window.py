@@ -75,9 +75,11 @@ def marginalize(problem: Problem, config: BAConfig, use_imu: bool,
     # all currently-active dims participate (departing poses included)
     cmask = asm.col_mask(sub, config)
     colm = cmask.astype(dtype)
+    colm6 = asm.col_mask(sub, config, 6).astype(dtype)
 
-    contrib, _ = asm.proj_contribution(sub, config, colm)
-    contrib = asm._add(contrib, asm.prior_contribution(sub, config, colm))
+    comp, _ = asm.proj_contribution(sub, config, colm6)
+    comp = asm._add(comp, asm.prior_contribution(sub, config, colm6))
+    contrib = asm.expand_contribution(comp, P, D, config.calib_dim)
     if use_imu:
         from ..core.residuals import imu as imu_mod
         ie = imu_mod.evaluate(sub, config, with_jacobians=True)
