@@ -217,6 +217,33 @@ def dogleg_iteration(problem: Problem, config: BAConfig, use_imu: bool,
                       trust_radius=radius)
 
 
+@partial(jax.jit, static_argnames=("config", "use_imu", "n_iters",
+                                   "gn_damping"))
+def solve_fixed(problem: Problem, config: BAConfig, use_imu: bool,
+                n_iters: int, gn_damping: float = 1.0):
+    """Fully-jitted fixed-iteration solve: the whole outer loop is ONE XLA
+    program (`lax.scan` over GN/dogleg iterations), for production serving
+    where per-iteration host round-trips matter.
+
+    Returns (problem, costs (n_iters,), delta_norms (n_iters,)).
+    The problem must already be `prepare_landmarks`-ed.
+    """
+    trust0 = jnp.asarray(config.trust_region_size, problem.poses.t.dtype)
+
+    def body(carry, _):
+        p, trust = carry
+        if config.use_dogleg:
+            res = dogleg_iteration(p, config, use_imu, trust)
+            trust = res.trust_radius
+        else:
+            res = gn_iteration(p, config, use_imu, gn_damping, False)
+        return (res.problem, trust), (res.post_cost, res.delta_norm)
+
+    (p, _), (costs, dns) = jax.lax.scan(body, (problem, trust0), None,
+                                        length=n_iters)
+    return p, costs, dns
+
+
 @dataclass
 class Summary:
     """SolutionSummary analog (reference BundleAdjuster.h:48-70)."""

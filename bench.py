@@ -53,23 +53,17 @@ def main(platform=None):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from ba_tpu.solver.step import gn_iteration
+    from ba_tpu.solver.step import solve_fixed
 
     problem, cfg = build()
 
-    def it(p):
-        return gn_iteration(p, cfg, True, 1.0, False)
-
-    # warmup / compile
-    res = it(problem)
-    jax.block_until_ready(res.post_cost)
+    # warmup / compile (the whole N_ITERS loop is one XLA program)
+    out = solve_fixed(problem, cfg, True, N_ITERS)
+    jax.block_until_ready(out[1])
 
     t0 = time.perf_counter()
-    p = problem
-    for _ in range(N_ITERS):
-        res = it(p)
-        p = res.problem
-    jax.block_until_ready(res.post_cost)
+    out = solve_fixed(problem, cfg, True, N_ITERS)
+    jax.block_until_ready(out[1])
     elapsed = time.perf_counter() - t0
 
     kf_per_s = N_POSES * N_ITERS / elapsed
