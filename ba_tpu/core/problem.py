@@ -73,6 +73,10 @@ class BAConfig:
     regularize_biases_in_batch: bool = True
     enable_auto_regularization: bool = True
 
+    # use the fused Pallas reprojection kernel (lm_size==1, no self-calib;
+    # interpret-mode off TPU so the f64 oracle exercises the same math)
+    use_pallas_proj: bool = False
+
     @property
     def vel_in_state(self) -> bool:
         return self.pose_dim >= 9
