@@ -18,7 +18,8 @@ def test_kernel_matches_autodiff():
     ref = reprojection.evaluate(problem, cfg, with_jacobians=True)
     got = evaluate_pallas(problem, cfg)
     np.testing.assert_allclose(got.r, ref.r, atol=1e-5)
-    np.testing.assert_allclose(got.err_sq, ref.err_sq, atol=1e-5)
+    np.testing.assert_allclose(got.err_sq, ref.err_sq, atol=1e-4,
+                               rtol=1e-5)
     np.testing.assert_allclose(got.j_meas, ref.j_meas, atol=1e-5)
     np.testing.assert_allclose(got.j_ref, ref.j_ref, atol=1e-5)
     np.testing.assert_allclose(got.j_lm, ref.j_lm, atol=1e-5)
