@@ -128,6 +128,42 @@ def _cauchy_factor(asm: Assembly):
     return num / jnp.maximum(den, 1e-30)
 
 
+def apply_robust_reweighting(problem: Problem, config: BAConfig,
+                             use_imu: bool) -> Problem:
+    """Persistent robust rescaling of unary/IMU information matrices
+    (reference §7.4: `res.cov_inv *= weight` in place, cpp:1463-1481 and
+    1526-1527; conditioning IMU edges exempt, cpp:1514-1521).
+
+    NOTE (documented deviation, SURVEY.md quirk Q1): the IMU robust scale is
+    computed from *IMU* errors — the reference accidentally reads projection
+    errors.
+    """
+    from ..core import robust
+
+    if config.use_robust_norm_for_unary_residuals:
+        from ..core.residuals import prior as prior_mod
+
+        ue = prior_mod.evaluate_unary(problem, config, with_jacobians=False)
+        w = robust.huber_weights(ue.err_sq, problem.unary.valid,
+                                 jnp.zeros_like(problem.unary.valid),
+                                 config.outlier_threshold)
+        unary = dataclasses.replace(
+            problem.unary,
+            cov_inv=problem.unary.cov_inv * w[:, None, None])
+        problem = dataclasses.replace(problem, unary=unary)
+
+    if use_imu and config.use_robust_norm_for_inertial_residuals:
+        ie = _imu_eval(problem, config, True, False)
+        w = robust.huber_weights(ie.err_sq, problem.imu.valid,
+                                 problem.imu.cond,
+                                 config.outlier_threshold)
+        w = jnp.where(problem.imu.cond, 1.0, w)
+        imu = dataclasses.replace(problem.imu,
+                                  weight=problem.imu.weight * w)
+        problem = dataclasses.replace(problem, imu=imu)
+    return problem
+
+
 @partial(jax.jit, static_argnames=("config", "use_imu", "gn_damping",
                                    "error_increase_allowed"))
 def gn_iteration(problem: Problem, config: BAConfig, use_imu: bool,
@@ -135,6 +171,7 @@ def gn_iteration(problem: Problem, config: BAConfig, use_imu: bool,
                  error_increase_allowed: bool = False) -> IterResult:
     """One damped Gauss-Newton outer iteration with rollback
     (reference SolveInternal non-dogleg branch, cpp:1084-1159)."""
+    problem = apply_robust_reweighting(problem, config, use_imu)
     asm = assemble(problem, config,
                    imu_eval=_imu_eval(problem, config, use_imu, True))
     step = solve_reduced(asm)
@@ -157,6 +194,7 @@ def dogleg_iteration(problem: Problem, config: BAConfig, use_imu: bool,
                      trust_radius) -> IterResult:
     """One dogleg outer iteration: bounded inner trust-region search
     (reference SolveInternal dogleg branch, cpp:850-1083)."""
+    problem = apply_robust_reweighting(problem, config, use_imu)
     asm = assemble(problem, config,
                    imu_eval=_imu_eval(problem, config, use_imu, True))
     gn = solve_reduced(asm)

@@ -250,3 +250,33 @@ def test_imu_only_dead_reckoning_chain():
     problem, cfg, gt = _build_vi_problem(perturb=0.03, with_unary=False)
     solved, summary = step_mod.solve(problem, cfg, max_iter=25, use_imu=True)
     assert summary.final_cost < 1e-10, summary
+
+
+def test_robust_imu_downweights_corrupted_span():
+    """A corrupted IMU span gets persistently downweighted (reference §7.4
+    cov_inv-in-place rescaling; scale from IMU errors, not quirk Q1)."""
+    problem, cfg, gt = _build_vi_problem(perturb=0.02, seed=2)
+    # corrupt one span's accelerometer hard
+    a = np.asarray(problem.imu.a).copy()
+    a[2] += 5.0
+    problem = dataclasses.replace(
+        problem, imu=dataclasses.replace(problem.imu, a=jnp.asarray(a)))
+
+    cfg = dataclasses.replace(cfg, use_dogleg=True)
+    cfg_rob = dataclasses.replace(
+        cfg, use_robust_norm_for_inertial_residuals=True)
+    srob, sumrob = step_mod.solve(problem, cfg_rob, max_iter=30,
+                                  use_imu=True)
+    splain, sumplain = step_mod.solve(problem, cfg, max_iter=30,
+                                      use_imu=True)
+
+    def traj_err(s):
+        return max(np.abs(np.asarray(s.poses.t[i]) - gt["p"][i]).max()
+                   for i in range(1, 6))
+
+    # the corrupted span must pull the plain solution away from the priors
+    # substantially more than the robust one
+    assert traj_err(srob) < 0.5 * traj_err(splain), (
+        traj_err(srob), traj_err(splain))
+    # and the weight state must have decreased for the bad span
+    assert float(srob.imu.weight[2]) < 0.5

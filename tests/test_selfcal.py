@@ -117,3 +117,50 @@ def test_bias_estimation_15dof():
     for i in range(8):
         np.testing.assert_allclose(np.asarray(solved.poses.b[i]), b_true,
                                    atol=5e-3)
+
+
+def test_full_vi_selfcal_15dof():
+    """The reference's fullest template config <R,1,15,5,true>: reprojection
+    + IMU with 15-dof states, intrinsics AND extrinsics optimized jointly
+    (IMU pins the vehicle frame, so T_vs is observable here)."""
+    from ba_tpu.io import simulate_vins as sv
+
+    sim = sv.simulate(n_poses=12, n_lms=80, seed=13)
+    cfg = BAConfig(pose_dim=15, lm_size=1, calib_size=5, do_tvs=True,
+                   use_dogleg=True, error_change_threshold=0.0,
+                   param_change_threshold=1e-10)
+    problem, pose_ids, _ = sv.build_problem(sim, cfg, perturb=0.0, seed=14)
+    # perturb intrinsics and extrinsics away from truth
+    params = np.asarray(problem.rig.params).copy()
+    params[0, :5] += np.array([2.0, -2.0, 3.0, -2.0, 0.01])
+    dq = np.asarray(lie.so3_exp(jnp.asarray([0.01, -0.008, 0.012])))
+    rig = dataclasses.replace(
+        problem.rig, params=jnp.asarray(params),
+        tvs_q=jnp.asarray(np.asarray(lie.quat_mul(
+            problem.rig.tvs_q[0], jnp.asarray(dq)))[None, :]),
+        tvs_t=problem.rig.tvs_t + jnp.asarray([[0.01, -0.02, 0.015]]))
+    problem = dataclasses.replace(problem, rig=rig)
+
+    solved, summary = step_mod.solve(problem, cfg, max_iter=40, use_imu=True)
+    assert summary.final_cost < summary.initial_cost * 1e-6, summary
+    # intrinsics recovered
+    np.testing.assert_allclose(np.asarray(solved.rig.params[0, :5]),
+                               sim.cam_params, atol=5e-2)
+
+
+def test_solve_fixed_matches_host_loop():
+    """The fully-jitted fixed-iteration solve must match the host loop."""
+    import test_solver_reprojection as tsr
+    from ba_tpu.core.problem import prepare_landmarks
+    from ba_tpu.solver.step import gn_iteration, solve_fixed
+
+    problem, cfg = tsr.make_scene(n_poses=8, n_lms=40, perturb=0.02)
+    p = prepare_landmarks(problem, cfg)
+    p_fixed, costs, dns = solve_fixed(p, cfg, False, 5)
+    p_host = p
+    for _ in range(5):
+        res = gn_iteration(p_host, cfg, False, 1.0, False)
+        p_host = res.problem
+    np.testing.assert_allclose(np.asarray(p_fixed.poses.t),
+                               np.asarray(p_host.poses.t), atol=1e-12)
+    assert float(costs[-1]) < 1e-4
