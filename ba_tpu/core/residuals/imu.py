@@ -10,16 +10,14 @@ Design:
     integration is a `lax.scan` over steps, vmapped over residuals.
   * RK4 with measurement lerp at the midpoint, matching the reference's
     k1..k4 alpha-blend scheme (Types.h:383-388, 419-643).
-  * Jacobians wrt the two pose states come from `jax.jacfwd` through the
-    scan (forward-mode; tangent dim <= 30) — no hand-derived `dy_dy0`/
-    `dy_db` chains.
-  * The 10-dim (t, q, v) integration covariance is propagated Euler-style
-    per step with per-step A = d(step)/d(state), B = d(step)/d(bias)
-    from `jacfwd` of the *single step* (reference euler_covariance mode,
-    Types.h:601-608), then mapped into the 9-dim residual tangent via the
-    residual's state Jacobian (the reference's `dse3t1t2v_dt1` chain,
-    parallel_algos.h:278-307).  The covariance is a weight
-    (stop_gradient), exactly like the reference's whitening.
+  * ONE scan accumulates everything the residual needs — the state, the
+    state-transition Jacobian Phi = dy/dy0, the bias sensitivity
+    Bsum = dy/db, and the Euler-mode covariance (the reference's
+    `dy_dy0` / `dy_db` / `c_prior` chain, Types.h:486-608) — with the
+    per-step A/B from `jacfwd` of a *single* RK4 step.  The pose/bias
+    Jacobians of the residual are then closed-form chains through Phi/Bsum,
+    which costs one 16-tangent jacfwd per step instead of differentiating
+    the whole scan with 2*pose_dim tangents.
 
 Deviations (documented per SURVEY.md §7):
   * per-step process noise uses the proper first-order discretization
@@ -89,6 +87,14 @@ def _rk4_step(y, m0, m1, dt, bg, ba, g):
     return (t, lie.quat_normalize(q), v)
 
 
+def _flat(y):
+    return jnp.concatenate(y)
+
+
+def _unflat(y10):
+    return (y10[0:3], y10[3:7], y10[7:10])
+
+
 def integrate_span(q1, t1, v1, b, w, a, times, g):
     """Integrate one padded measurement span; returns final (t, q, v).
 
@@ -110,27 +116,23 @@ def integrate_span(q1, t1, v1, b, w, a, times, g):
     return y
 
 
-def _flat(y):
-    return jnp.concatenate(y)
+def integrate_full(q1, t1, v1, b, w, a, times, g, r_imu):
+    """One scan accumulating (y, C10, Phi = dy/dy0, Bsum = dy/db).
 
-
-def _unflat(y10):
-    return (y10[0:3], y10[3:7], y10[7:10])
-
-
-def integrate_cov(q1, t1, v1, b, w, a, times, g, r_imu):
-    """Propagate the 10x10 integration covariance (Euler mode):
-    C <- A C A^T + B (R/dt) B^T per step, A/B from jacfwd of the step."""
+    Per-step A = d(step)/d(state) and B = d(step)/d(bias) from jacfwd of the
+    single RK4 step; the reference accumulates the same quantities by hand
+    (IntegrateImu dy_dy0/dy_db pushforward, Types.h:486-608).
+    """
     bg, ba = b[:3], b[3:]
 
-    def stepfn(y10, bias, m0w, m0a, m1w, m1a, dt):
+    def stepfn(y10, dbias, m0w, m0a, m1w, m1a, dt):
         y = _unflat(y10)
-        yn = _rk4_step(y, (m0w, m0a), (m1w, m1a), dt, bias[:3] + bg,
-                       bias[3:] + ba, g)
+        yn = _rk4_step(y, (m0w, m0a), (m1w, m1a), dt, dbias[:3] + bg,
+                       dbias[3:] + ba, g)
         return _flat(yn)
 
     def scan_body(carry, inp):
-        y10, C = carry
+        y10, C, Phi, Bsum = carry
         m0w, m0a, m1w, m1a, dt = inp
         zeros_b = jnp.zeros(6, y10.dtype)
         A = jax.jacfwd(stepfn, argnums=0)(y10, zeros_b, m0w, m0a, m1w, m1a,
@@ -140,16 +142,46 @@ def integrate_cov(q1, t1, v1, b, w, a, times, g, r_imu):
         y_new = stepfn(y10, zeros_b, m0w, m0a, m1w, m1a, dt)
         dt_safe = jnp.maximum(dt, 1e-12)
         C_new = A @ C @ A.T + (B * r_imu[None, :] / dt_safe) @ B.T
+        Phi_new = A @ Phi
+        Bsum_new = A @ Bsum + B
         ok = dt > 0
         y10 = jnp.where(ok, y_new, y10)
         C = jnp.where(ok, C_new, C)
-        return (y10, C), None
+        Phi = jnp.where(ok, Phi_new, Phi)
+        Bsum = jnp.where(ok, Bsum_new, Bsum)
+        return (y10, C, Phi, Bsum), None
 
     y0 = _flat((t1, q1, v1))
-    C0 = jnp.zeros((10, 10), y0.dtype)
+    dtype = y0.dtype
+    carry0 = (y0, jnp.zeros((10, 10), dtype), jnp.eye(10, dtype=dtype),
+              jnp.zeros((10, 6), dtype))
     inps = (w[:-1], a[:-1], w[1:], a[1:], times[1:] - times[:-1])
-    (y10, C), _ = jax.lax.scan(scan_body, (y0, C0), inps)
+    (y10, C, Phi, Bsum), _ = jax.lax.scan(scan_body, carry0, inps)
+    return y10, C, Phi, Bsum
+
+
+# kept for tests / covariance-only callers
+def integrate_cov(q1, t1, v1, b, w, a, times, g, r_imu):
+    y10, C, _, _ = integrate_full(q1, t1, v1, b, w, a, times, g, r_imu)
     return y10, C
+
+
+def _dy0_dtangent(q1, dtype):
+    """J_y0 (10, 9): d(t1, q1_coords, v1) / d[dt(3), dw(3), dv(3)].
+
+    Rotation block: q1 -> q1*exp(dw) gives dq_coords/dw_c =
+    0.5 * q1 x [0, e_c] (quaternion product in coordinates).
+    """
+    J = jnp.zeros((10, 9), dtype)
+    J = J.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype))
+    J = J.at[7:10, 6:9].set(jnp.eye(3, dtype=dtype))
+    w, x, y, z = q1[0], q1[1], q1[2], q1[3]
+    # 0.5 * q1 x [0, e_c] for c = 0,1,2 (wxyz rows)
+    qcols = 0.5 * jnp.array([[-x, -y, -z],
+                             [w, -z, y],
+                             [z, w, -x],
+                             [-y, x, w]], dtype=dtype)
+    return J.at[3:7, 3:6].set(qcols)
 
 
 def evaluate(problem, config, with_jacobians: bool = True) -> ImuEval:
@@ -166,30 +198,77 @@ def evaluate(problem, config, with_jacobians: bool = True) -> ImuEval:
     q2, t2 = poses.q[im.pose2], poses.t[im.pose2]
     v2, b2 = poses.v[im.pose2], poses.b[im.pose2]
 
-    def residual_one(delta, q1, t1, v1, b1, q2, t2, v2, b2, w, a, times):
-        d1, d2 = delta[:D], delta[D:]
-        Q1, T1 = lie.se3_retract((q1, t1), d1[:6])
-        V1 = v1 + d1[6:9]
-        B1 = b1 + (d1[9:15] if config.bias_in_state else 0.0)
-        Q2, T2 = lie.se3_retract((q2, t2), d2[:6])
-        V2 = v2 + d2[6:9]
-        B2 = b2 + (d2[9:15] if config.bias_in_state else 0.0)
-        yt, yq, yv = integrate_span(Q1, T1, V1, B1, w, a, times, g)
-        r_pose = lie.se3_log_decoupled((yq, yt), (Q2, T2))
-        parts = [r_pose, yv - V2]
-        if config.bias_in_state:
-            parts.append(B1 - B2)
-        return jnp.concatenate(parts)
-
-    Ni = im.pose1.shape[0]
-    zeros = jnp.zeros((Ni, 2 * D), dtype)
-    r = jax.vmap(residual_one)(zeros, q1, t1, v1, b1, q2, t2, v2, b2,
-                               im.w, im.a, im.time)
-
-    # ---- information matrix from propagated covariance ----------------
     r_imu = jnp.concatenate([
         jnp.full((3,), config.gyro_sigma**2, dtype),
         jnp.full((3,), config.accel_sigma**2, dtype)])
+
+    if not with_jacobians:
+        def residual_only(q1, t1, v1, b1, q2, t2, v2, b2, w, a, times):
+            yt, yq, yv = integrate_span(q1, t1, v1, b1, w, a, times, g)
+            r_pose = lie.se3_log_decoupled((yq, yt), (q2, t2))
+            parts = [r_pose, yv - v2]
+            if config.bias_in_state:
+                parts.append(b1 - b2)
+            return jnp.concatenate(parts), yt, yv
+
+        r, yts, yvs = jax.vmap(residual_only)(
+            q1, t1, v1, b1, q2, t2, v2, b2, im.w, im.a, im.time)
+        cov_inv = _cov_inv(problem, config, r_imu, q1, t1, v1, b1, q2, t2,
+                           im)
+        return _whiten_pack(problem, config, r, None, None, cov_inv,
+                            with_jacobians=False, y_t=yts, y_v=yvs)
+
+    def one(q1, t1, v1, b1, q2, t2, v2, b2, w, a, times):
+        y10, C10, Phi, Bsum = integrate_full(q1, t1, v1, b1, w, a, times,
+                                             g, r_imu)
+
+        def res_map(y10, d2):
+            yt, yq, yv = _unflat(y10)
+            Q2, T2 = lie.se3_retract((q2, t2), d2[:6])
+            V2 = v2 + d2[6:9]
+            rp = lie.se3_log_decoupled((lie.quat_normalize(yq), yt),
+                                       (Q2, T2))
+            return jnp.concatenate([rp, yv - V2])
+
+        d2z = jnp.zeros(9, dtype)
+        r9 = res_map(y10, d2z)
+        Jy = jax.jacfwd(res_map, argnums=0)(y10, d2z)     # (9, 10)
+        J2s = jax.jacfwd(res_map, argnums=1)(y10, d2z)    # (9, 9)
+        J1s = Jy @ (Phi @ _dy0_dtangent(q1, dtype))       # (9, 9)
+        J1b = Jy @ Bsum                                   # (9, 6)
+        C9 = Jy @ C10 @ Jy.T
+        return r9, J1s, J1b, J2s, C9
+
+    r9, J1s, J1b, J2s, C9 = jax.vmap(one)(
+        q1, t1, v1, b1, q2, t2, v2, b2, im.w, im.a, im.time)
+
+    Ni = im.pose1.shape[0]
+    if config.bias_in_state:
+        r = jnp.concatenate([r9, b1 - b2], axis=-1)
+        eye6 = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (Ni, 6, 6))
+        z96 = jnp.zeros((Ni, 9, 6), dtype) if D < 15 else None
+        j1 = jnp.concatenate([
+            jnp.concatenate([J1s, J1b], axis=-1),
+            jnp.concatenate([jnp.zeros((Ni, 6, 9), dtype), eye6], axis=-1),
+        ], axis=1)
+        j2 = jnp.concatenate([
+            jnp.concatenate([J2s, jnp.zeros((Ni, 9, 6), dtype)], axis=-1),
+            jnp.concatenate([jnp.zeros((Ni, 6, 9), dtype), -eye6], axis=-1),
+        ], axis=1)
+    else:
+        r = r9
+        j1 = J1s[:, :, :D]
+        j2 = J2s[:, :, :D]
+
+    cov_inv = _cov_inv_from_c9(problem, config, C9, im, dtype)
+    return _whiten_pack(problem, config, r, j1, j2, cov_inv,
+                        with_jacobians=True, y_t=t1, y_v=v1)
+
+
+def _cov_inv(problem, config, r_imu, q1, t1, v1, b1, q2, t2, im):
+    """Covariance path for the no-jacobian call (cost evaluation)."""
+    dtype = t1.dtype
+    g = problem.g_vec
 
     def cov_one(q1, t1, v1, b1, q2, t2, w, a, times):
         y10, C10 = integrate_cov(q1, t1, v1, b1, w, a, times, g, r_imu)
@@ -200,49 +279,54 @@ def evaluate(problem, config, with_jacobians: bool = True) -> ImuEval:
                                        (q2, t2))
             return jnp.concatenate([rp, yv])
 
-        Jy = jax.jacfwd(res_of_y)(y10)            # (9, 10)
-        C9 = Jy @ C10 @ Jy.T
-        return C9
+        Jy = jax.jacfwd(res_of_y)(y10)
+        return Jy @ C10 @ Jy.T
 
-    C9 = jax.lax.stop_gradient(
-        jax.vmap(cov_one)(q1, t1, v1, b1, q2, t2, im.w, im.a, im.time))
-    dt_total = jnp.max(im.time, axis=-1) - im.time[:, 0]
+    C9 = jax.vmap(cov_one)(q1, t1, v1, b1, q2, t2, im.w, im.a, im.time)
+    return _cov_inv_from_c9(problem, config, C9, im, dtype)
+
+
+def _cov_inv_from_c9(problem, config, C9, im, dtype):
+    C9 = jax.lax.stop_gradient(C9)
+    Ni = C9.shape[0]
     eps9 = 1e-12 if dtype == jnp.float64 else 1e-8
     C9 = C9 + eps9 * jnp.eye(9, dtype=dtype)
     cov_inv9 = jnp.linalg.inv(C9)
-
     if config.bias_in_state:
+        dt_total = jnp.max(im.time, axis=-1) - im.time[:, 0]
         r_b = jnp.concatenate([
             jnp.full((3,), config.gyro_bias_sigma**2, dtype),
             jnp.full((3,), config.accel_bias_sigma**2, dtype)])
         cb = r_b[None, :] * jnp.maximum(dt_total, 1e-12)[:, None]
         cov_inv = jnp.zeros((Ni, 15, 15), dtype)
         cov_inv = cov_inv.at[:, :9, :9].set(cov_inv9)
-        cov_inv = cov_inv.at[:, 9:, 9:].set(
-            jax.vmap(jnp.diag)(1.0 / cb))
+        cov_inv = cov_inv.at[:, 9:, 9:].set(jax.vmap(jnp.diag)(1.0 / cb))
     else:
         cov_inv = cov_inv9
-
     # persistent robust weight state (reference rescales cov_inv in place,
     # §7.4); conditioning edges exempt (cpp:1514-1521)
     wgt = jnp.where(im.cond, 1.0, im.weight)
-    cov_inv = cov_inv * wgt[:, None, None]
+    return cov_inv * wgt[:, None, None]
 
+
+def _whiten_pack(problem, config, r, j1, j2, cov_inv, with_jacobians,
+                 y_t, y_v):
+    im = problem.imu
+    dtype = r.dtype
+    D = config.pose_dim
+    res_dim = r.shape[-1]
+    Ni = r.shape[0]
     S = spd_sqrt(cov_inv)
     valid = im.valid
     rw = jnp.einsum("nij,nj->ni", S, r)
     rw = jnp.where(valid[:, None], rw, 0.0)
     err_sq = jnp.einsum("ni,nij,nj->n", r, cov_inv, r)
     err_sq = jnp.where(valid, err_sq, 0.0)
-
     if not with_jacobians:
         zj = jnp.zeros((Ni, res_dim, D), dtype)
-        yt = t1
-        return ImuEval(rw, zj, zj, err_sq, yt, v1)
-
-    J = jax.vmap(jax.jacfwd(residual_one))(
-        zeros, q1, t1, v1, b1, q2, t2, v2, b2, im.w, im.a, im.time)
-    J = jnp.where(valid[:, None, None], J, 0.0)
-    j1 = jnp.einsum("nij,njk->nik", S, J[..., :D])
-    j2 = jnp.einsum("nij,njk->nik", S, J[..., D:])
-    return ImuEval(rw, j1, j2, err_sq, t1, v1)
+        return ImuEval(rw, zj, zj, err_sq, y_t, y_v)
+    j1 = jnp.where(valid[:, None, None], j1, 0.0)
+    j2 = jnp.where(valid[:, None, None], j2, 0.0)
+    j1w = jnp.einsum("nij,njk->nik", S, j1)
+    j2w = jnp.einsum("nij,njk->nik", S, j2)
+    return ImuEval(rw, j1w, j2w, err_sq, y_t, y_v)
