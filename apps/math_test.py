@@ -32,6 +32,9 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    elif not args.f32:
+        # f64 oracle mode runs on CPU (TPU has no f64 factorizations)
+        jax.config.update("jax_platforms", "cpu")
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -45,12 +48,20 @@ def main():
 
     def check(name, got, want, atol):
         nonlocal failures
-        err = float(np.max(np.abs(np.asarray(got) - np.asarray(want))))
-        ok = err <= atol
+        got, want = np.asarray(got), np.asarray(want)
+        # scale the tolerance to the operand magnitude (f32 mode compares
+        # different f32 accumulation orders of ~1e6-magnitude entries)
+        scale = max(1.0, float(np.abs(want).max()))
+        err = float(np.max(np.abs(got - want)))
+        ok = err <= atol * scale
         failures += 0 if ok else 1
-        print(f"  [{'PASS' if ok else 'FAIL'}] {name:44s} err={err:.3e}")
+        print(f"  [{'PASS' if ok else 'FAIL'}] {name:44s} "
+              f"err={err:.3e} (scale {scale:.1e})")
 
-    def fd_jac(f, x, eps=1e-6):
+    fd_eps = 1e-6 if not args.f32 else 1e-3
+
+    def fd_jac(f, x, eps=None):
+        eps = eps or fd_eps
         cols = []
         for i in range(x.size):
             dx = np.zeros_like(x)
@@ -97,27 +108,28 @@ def main():
     J, r, np_dim = dense_oracle(problem, cfg)
     H = J.T @ J
     check("U block", asm.U, H[:np_dim, :np_dim],
-          1e-7 if not args.f32 else 1e-1)
+          1e-10 if not args.f32 else 1e-2)
     check("W block", asm.W, H[:np_dim, np_dim:],
-          1e-7 if not args.f32 else 1e-1)
+          1e-10 if not args.f32 else 1e-2)
     check("rhs_p", asm.rhs_p, (J.T @ r)[:np_dim],
-          1e-7 if not args.f32 else 1e-1)
+          1e-10 if not args.f32 else 1e-2)
     print(f"  assemble wall time (compile included): {t_asm:.3f} s")
 
-    print("Block-op micro-benchmarks (steady state):")
-    from bench import build as bench_build
-    problem, cfg = bench_build()
-    from ba_tpu.solver.step import gn_iteration
+    if args.f32:
+        print("Block-op micro-benchmarks (steady state):")
+        from bench import build as bench_build
+        problem, cfg = bench_build()
+        from ba_tpu.solver.step import gn_iteration
 
-    it = lambda p: gn_iteration(p, cfg, True, 1.0, False)
-    out = it(problem)
-    jax.block_until_ready(out.post_cost)
-    t0 = time.perf_counter()
-    for _ in range(5):
+        it = lambda p: gn_iteration(p, cfg, True, 1.0, False)
         out = it(problem)
-    jax.block_until_ready(out.post_cost)
-    print(f"  VI GN iteration (128 kf, 512 lms): "
-          f"{(time.perf_counter() - t0) / 5 * 1e3:.2f} ms")
+        jax.block_until_ready(out.post_cost)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = it(problem)
+        jax.block_until_ready(out.post_cost)
+        print(f"  VI GN iteration (128 kf, 512 lms): "
+              f"{(time.perf_counter() - t0) / 5 * 1e3:.2f} ms")
 
     print(f"{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0

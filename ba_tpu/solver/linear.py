@@ -54,3 +54,20 @@ def calibration_marginals(asm: Assembly, calib_dim: int) -> jax.Array:
     eye = jnp.eye(N, dtype=asm.S.dtype)[:, N - calib_dim:]
     cols = jax.scipy.linalg.cho_solve((c, low), eye)
     return cols[N - calib_dim:, :]
+
+
+def dump_system(asm: Assembly, out_dir: str) -> None:
+    """Write the reduced camera system as text files — the reference's
+    `write_reduced_camera_matrix` dumps (`s.txt`, `rhs.txt`, ...,
+    src/BundleAdjuster.cpp:600-627), used for cross-implementation numeric
+    comparison (matlab/test_marginalization.py consumes the same format)."""
+    import os
+
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, arr in [("s", asm.S), ("rhs", asm.rhs_sc), ("u", asm.U),
+                      ("rhs_p", asm.rhs_p), ("w", asm.W),
+                      ("v", asm.V.reshape(asm.V.shape[0], -1)),
+                      ("rhs_l", asm.rhs_l)]:
+        np.savetxt(os.path.join(out_dir, f"{name}.txt"), np.asarray(arr))

@@ -300,9 +300,12 @@ class Summary:
 
 def solve(problem: Problem, config: BAConfig, max_iter: int = 10,
           gn_damping: float = 1.0, error_increase_allowed: bool = False,
-          use_imu: Optional[bool] = None):
+          use_imu: Optional[bool] = None, verbose: int = 0):
     """Outer solve loop (reference Solve, cpp:278-705): host-side convergence
     control around jitted whole-iteration programs.
+
+    `verbose > 0` prints per-iteration lines (the reference's level-gated
+    StreamMessage debug stream, Utils.h:40-43).
 
     Returns (problem, Summary).
     """
@@ -321,6 +324,10 @@ def solve(problem: Problem, config: BAConfig, max_iter: int = 10,
         problem = res.problem
         pre = float(res.pre_cost)
         post = float(res.post_cost)
+        if verbose:
+            print(f"  iter {it:3d}: cost {pre:12.6g} -> {post:12.6g}  "
+                  f"|dx| {float(res.delta_norm):10.4g}  "
+                  f"{'accepted' if bool(res.accepted) else 'REJECTED'}")
         if it == 0:
             summary.initial_cost = pre
         summary.iterations = it + 1

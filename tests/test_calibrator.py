@@ -103,3 +103,18 @@ def test_checkpoint_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert ckpt.extra(path)["iteration"] == 3
+
+
+def test_dump_system(tmp_path):
+    from test_solver_reprojection import make_scene
+    from ba_tpu.core.problem import prepare_landmarks
+    from ba_tpu.solver import assemble as asm_mod
+    from ba_tpu.solver.linear import dump_system
+
+    problem, cfg = make_scene(n_poses=4, n_lms=6)
+    p = prepare_landmarks(problem, cfg)
+    asm = asm_mod.assemble(p, cfg)
+    dump_system(asm, str(tmp_path))
+    s = np.loadtxt(tmp_path / "s.txt")
+    np.testing.assert_allclose(s, np.asarray(asm.S))
+    assert (tmp_path / "rhs.txt").exists()
