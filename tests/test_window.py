@@ -167,3 +167,60 @@ def test_vins_sliding_window():
     ate_window = sv.ate(None, np.asarray(p.poses.t[6:12]), None,
                         sim.t_wv[6:12])
     assert ate_window < max(5 * ate_batch, 5e-3), (ate_window, ate_batch)
+
+
+def test_rotational_pose_graph():
+    """<R,0,6,0> pose-graph config with nontrivial rotations: noisy odometry
+    chain + loop closure converges and recovers orientations."""
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(11)
+    n = 8
+    cfg = BAConfig(pose_dim=6, lm_size=0, use_dogleg=True,
+                   error_change_threshold=0.0, param_change_threshold=1e-10,
+                   enable_auto_regularization=False)
+    b = ProblemBuilder(cfg)
+
+    # ground truth: random walk in SE3
+    qs, ts = [np.array([1.0, 0, 0, 0])], [np.zeros(3)]
+    for i in range(1, n):
+        dq = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(size=3) * 0.3)))
+        qs.append(np.asarray(lie.quat_mul(jnp.asarray(qs[-1]),
+                                          jnp.asarray(dq))))
+        ts.append(ts[-1] + rng.normal(size=3))
+
+    ids = []
+    for i in range(n):
+        # perturbed initial guess (anchor exact)
+        if i == 0:
+            q0, t0 = qs[0], ts[0]
+        else:
+            pq = np.asarray(lie.quat_mul(jnp.asarray(qs[i]), lie.so3_exp(
+                jnp.asarray(rng.normal(size=3) * 0.1))))
+            q0, t0 = pq, ts[i] + rng.normal(size=3) * 0.3
+        ids.append(b.add_pose(q0, t0, active=True, time=float(i)))
+    b.add_unary_constraint(ids[0], qs[0], ts[0], cov=np.eye(6) * 1e-8)
+
+    def rel(i, j):
+        # T_i^-1 T_j in our decoupled convention used by the binary
+        # residual: r = log_decoupled(T1 * meas, T2) -> meas = T1^-1 T2
+        qi, ti = jnp.asarray(qs[i]), jnp.asarray(ts[i])
+        qj, tj = jnp.asarray(qs[j]), jnp.asarray(ts[j])
+        q, t = lie.se3_compose(lie.se3_inverse((qi, ti)), (qj, tj))
+        return np.asarray(q), np.asarray(t)
+
+    for i in range(n - 1):
+        q, t = rel(i, i + 1)
+        b.add_binary_constraint(ids[i], ids[i + 1], q, t, cov=np.eye(6) * 0.01)
+    q, t = rel(0, n - 1)
+    b.add_binary_constraint(ids[0], ids[n - 1], q, t, cov=np.eye(6) * 0.01)
+
+    problem = b.build()
+    solved, summary = step_mod.solve(problem, cfg, max_iter=25,
+                                     use_imu=False)
+    assert summary.final_cost < 1e-8, summary
+    for i in range(n):
+        dot = abs(float(np.asarray(solved.poses.q[i]) @ qs[i]))
+        assert dot > 1.0 - 1e-6, (i, dot)
+        np.testing.assert_allclose(np.asarray(solved.poses.t[i]), ts[i],
+                                   atol=1e-4)
