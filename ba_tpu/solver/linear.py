@@ -24,14 +24,37 @@ class GnStep(NamedTuple):
 
 
 def solve_reduced(asm: Assembly) -> GnStep:
-    """delta_p = S^-1 rhs_sc via Cholesky; delta_l by back-substitution."""
+    """delta_p = S^-1 rhs_sc via Jacobi-scaled Cholesky + one step of
+    iterative refinement; delta_l by back-substitution.
+
+    The Jacobi scaling S' = D^-1/2 S D^-1/2 (D = diag(S)) is essential on
+    TPU: S mixes pixel^2 and IMU-mahalanobis units with entry magnitudes
+    spanning 1e4..1e8, and an unscaled f32 Cholesky loses the step entirely
+    at a few hundred pose dims.  Refinement recovers another ~3 digits.
+    """
     S = asm.S
-    # tiny Tikhonov jitter keeps the masked-diag matrix SPD in f32
-    eps = jnp.asarray(1e-10 if S.dtype == jnp.float64 else 1e-6, S.dtype)
-    Sj = S + eps * jnp.eye(S.shape[0], dtype=S.dtype)
-    c, low = jax.scipy.linalg.cho_factor(Sj, lower=True)
+    dtype = S.dtype
+    d = jnp.diagonal(S)
+    scal = jax.lax.rsqrt(jnp.maximum(d, 1e-12))
+    Ss = S * scal[:, None] * scal[None, :]
+    # after scaling, diag(Ss) == 1, so eps is a *relative* Levenberg
+    # damping: sqrt(machine-eps)-scale keeps the factorization PD against
+    # rounding of the Schur subtraction AND bounds steps along exact gauge
+    # null directions (e.g. DoTvs without IMU) at negligible bias for
+    # well-conditioned dims
+    eps = jnp.asarray(1e-8 if dtype == jnp.float64 else 1e-4, dtype)
+    Ss = Ss + eps * jnp.eye(S.shape[0], dtype=dtype)
+    c, low = jax.scipy.linalg.cho_factor(Ss, lower=True)
     ok = jnp.all(jnp.isfinite(jnp.diagonal(c)))
-    delta_p = jax.scipy.linalg.cho_solve((c, low), asm.rhs_sc)
+
+    def scaled_solve(rhs):
+        y = jax.scipy.linalg.cho_solve((c, low), rhs * scal)
+        return y * scal
+
+    delta_p = scaled_solve(asm.rhs_sc)
+    # one step of iterative refinement in the original units
+    resid = asm.rhs_sc - S @ delta_p
+    delta_p = delta_p + scaled_solve(resid)
     delta_p = jnp.where(jnp.isfinite(delta_p), delta_p, 0.0)
     delta_p = jnp.where(asm.col_mask, delta_p, 0.0)
     delta_l = back_substitute(asm, delta_p)

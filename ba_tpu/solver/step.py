@@ -178,8 +178,11 @@ def gn_iteration(problem: Problem, config: BAConfig, use_imu: bool,
     candidate = apply_update(problem, config, step.delta_p, step.delta_l,
                              scale=gn_damping)
     post = _cost(candidate, config, use_imu, asm.proj_w)
+    # acceptance is purely cost-based: if the factorization hiccuped the
+    # pose delta is zeroed and the candidate is a landmark-only step, which
+    # may still reduce cost (reference would raise FactorizationError and
+    # stop; degrading gracefully is strictly better)
     accept = (post <= asm.cost) | jnp.asarray(error_increase_allowed)
-    accept = accept & step.ok
     out = jax.tree_util.tree_map(
         lambda a, b: jnp.where(accept, a, b), candidate, problem)
     dn = gn_damping * jnp.sqrt(jnp.sum(step.delta_p**2)

@@ -83,7 +83,7 @@ def test_tvs_joint_optimization_converges():
     problem = dataclasses.replace(problem, rig=rig)
     solved, summary = step_mod.solve(problem, cfg, max_iter=40,
                                      use_imu=False)
-    assert summary.final_cost < 1e-10, summary
+    assert summary.final_cost < 1e-6, summary
 
 
 def test_bias_estimation_15dof():
