@@ -26,7 +26,7 @@ N_ITERS = 10
 
 # CPU f64 measurement of the same workload (see BASELINE.md; re-measure with
 # `python bench.py --cpu`).
-CPU_BASELINE_KF_S = 115.0
+CPU_BASELINE_KF_S = 300.0
 
 
 def build():
