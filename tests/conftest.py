@@ -23,3 +23,7 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+# Installs the big-stack compile-cache IO patch (XLA's (de)serializer
+# overflows the 8MB main stack on large executables) before any compile.
+import ba_tpu  # noqa: E402,F401
