@@ -49,16 +49,28 @@ class BAConfig:
     lm_size: int = 1           # 0 (pose graph) | 1 (inverse depth) | 3 (XYZ)
     calib_size: int = 0        # 0 | 5 (camera intrinsics)
     do_tvs: bool = False       # optimize camera-from-vehicle extrinsics
+    # evaluate projections with each measuring pose's own (frozen)
+    # intrinsics instead of the rig camera's (reference h:96: AddPose
+    # stores pose.cam_params, cpp:163-175 swaps them in per residual)
+    use_per_pose_cam_params: bool = False
 
     # step control
     use_dogleg: bool = True
     trust_region_size: float = -1.0       # kTrustRegionAuto
-    dogleg_max_inner_iterations: int = 32
+    dogleg_max_inner_iterations: int = 100  # reference default, h:88
     error_change_threshold: float = 0.01
     param_change_threshold: float = 1e-3
 
-    # robust norm
-    use_robust_norm_for_proj_residuals: bool = False
+    # reduced-system solver: dense Cholesky of S by default; the
+    # matrix-free block-Jacobi PCG path (the TPU answer to the reference's
+    # `use_sparse_solver` SimplicialLDLT, BundleAdjuster.h:92 /
+    # cpp:752-826) never materializes S and scales to long trajectories
+    use_cg_solver: bool = False
+    cg_max_iterations: int = 100
+    cg_tolerance: float = 1e-6
+
+    # robust norm (projection default True — reference BundleAdjuster.h:103)
+    use_robust_norm_for_proj_residuals: bool = True
     use_robust_norm_for_unary_residuals: bool = False
     use_robust_norm_for_inertial_residuals: bool = False
     outlier_threshold: float = 1.0
@@ -72,6 +84,9 @@ class BAConfig:
 
     regularize_biases_in_batch: bool = True
     enable_auto_regularization: bool = True
+    # freeze the IMU integration covariance after the first build
+    # (reference BundleAdjuster.h:106, parallel_algos.h:190-205)
+    calculate_inertial_covariance_once: bool = False
 
     # use the fused Pallas reprojection kernel (lm_size==1, no self-calib;
     # interpret-mode off TPU so the f64 oracle exercises the same math)
@@ -117,6 +132,9 @@ class PoseStates:
     time: jax.Array       # (P,)
     active: jax.Array     # (P,) bool — in the state vector at all
     mask: jax.Array       # (P, 15) bool — per-dim optimize flag (param_mask)
+    cam_params: jax.Array  # (P, MAX_PARAMS) per-pose intrinsics (frozen
+                           # inputs; used when use_per_pose_cam_params —
+                           # reference PoseT::cam_params, Types.h:46)
 
 
 @_pytree_dataclass
@@ -153,7 +171,15 @@ class Rig:
 
 @_pytree_dataclass
 class ProjResiduals:
-    """2D reprojection residual table (ProjectionResidualT, Types.h:255-268)."""
+    """2D reprojection residual table (ProjectionResidualT, Types.h:255-268).
+
+    `pair`/`pair_swap`/`wb_meas`/`wb_ref` are host-precomputed sparsity
+    indices for block-structured normal-equation assembly (see
+    `build_structure_index`): `pair` points into the unique
+    (meas-pose, ref-pose) pair table of `ProblemIndex` (block stored
+    transposed when `pair_swap`), `wb_meas`/`wb_ref` into the unique
+    (pose, landmark) W-block table.
+    """
 
     z: jax.Array          # (Nr, 2) measured pixels
     pose: jax.Array       # (Nr,) int32 measuring pose id
@@ -162,6 +188,10 @@ class ProjResiduals:
     weight: jax.Array     # (Nr,) base weight (before robust reweighting)
     valid: jax.Array      # (Nr,) bool
     cond: jax.Array       # (Nr,) bool — conditioning edge (ref pose inactive)
+    pair: jax.Array       # (Nr,) int32 — row in ProblemIndex.pair_a/b
+    pair_swap: jax.Array  # (Nr,) bool
+    wb_meas: jax.Array    # (Nr,) int32 — row in ProblemIndex.wb_pose/lm
+    wb_ref: jax.Array     # (Nr,) int32
 
 
 @_pytree_dataclass
@@ -185,6 +215,8 @@ class BinaryResiduals:
     t: jax.Array          # (Nb, 3) measured T_12 translation
     cov_inv: jax.Array    # (Nb, 6, 6)
     valid: jax.Array      # (Nb,) bool
+    pair: jax.Array       # (Nb,) int32 — row in ProblemIndex.bpair_a/b
+    pair_swap: jax.Array  # (Nb,) bool
 
 
 @_pytree_dataclass
@@ -205,6 +237,12 @@ class ImuResiduals:
     weight: jax.Array     # (Ni,) robust weight state (persistent, §7.4)
     valid: jax.Array      # (Ni,) bool
     cond: jax.Array       # (Ni,) bool — conditioning edge
+    pair: jax.Array       # (Ni,) int32 — row in ProblemIndex.ipair_a/b
+    pair_swap: jax.Array  # (Ni,) bool
+    c9: jax.Array         # (Ni, 9, 9) cached integration covariance
+    c9_set: jax.Array     # () bool — cache populated
+                          # (`calculate_inertial_covariance_once`,
+                          # reference BundleAdjuster.h:106)
 
 
 @_pytree_dataclass
@@ -228,8 +266,13 @@ class MargPrior:
     active: jax.Array     # () bool
 
 
-def empty_marg_prior(P: int, pose_dim: int, dtype) -> MargPrior:
-    n = P * pose_dim
+def empty_marg_prior(P: int, pose_dim: int, dtype,
+                     enabled: bool = True) -> MargPrior:
+    """`enabled=False` allocates a degenerate (1,1) H so long-trajectory
+    problems (which never marginalize in place) don't carry an O((P*D)^2)
+    dense prior; the assembly skips the prior when H's shape doesn't match
+    the pose dims (a static-shape gate)."""
+    n = P * pose_dim if enabled else 1
     return MargPrior(H=jnp.zeros((n, n), dtype), g=jnp.zeros((n,), dtype),
                      lin_q=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype),
                                     (P, 1)),
@@ -237,6 +280,111 @@ def empty_marg_prior(P: int, pose_dim: int, dtype) -> MargPrior:
                      lin_v=jnp.zeros((P, 3), dtype),
                      lin_b=jnp.zeros((P, 6), dtype),
                      active=jnp.zeros((), bool))
+
+
+@_pytree_dataclass
+class ProblemIndex:
+    """Host-precomputed sparsity tables for block-structured assembly.
+
+    The reference's block-CCS containers (SparseBlockMatrix.h) carry the
+    sparsity pattern as per-column linked storage; on TPU the pattern is
+    *static per problem instance*, so it is enumerated once on the host at
+    build time and the normal equations are assembled by `segment_sum` of
+    per-residual block outer products into these unique-index tables — a
+    collision-free formulation that replaces the O(Nr * N^2) dense-Jacobian
+    matmuls of the naive scatter-J design.
+
+    Rows beyond the real count are padding (index 0, zero blocks).
+    """
+
+    pair_a: jax.Array     # (Npr,) int32 — unique projection pose pairs a<=b
+    pair_b: jax.Array     # (Npr,)
+    wb_pose: jax.Array    # (Nw,) int32 — unique (pose, landmark) W blocks
+    wb_lm: jax.Array      # (Nw,)
+    bpair_a: jax.Array    # (Nbp,) int32 — unique binary pose pairs
+    bpair_b: jax.Array
+    ipair_a: jax.Array    # (Nip,) int32 — unique IMU pose pairs
+    ipair_b: jax.Array
+
+
+def _pair_table_np(i_idx, j_idx, valid, n_states, pad_multiple=1):
+    """Canonical (a<=b) unique-pair table + per-row pair id / swap flag.
+
+    Invalid rows map to pair 0 (their blocks are zero downstream)."""
+    i_idx = np.asarray(i_idx, np.int64)
+    j_idx = np.asarray(j_idx, np.int64)
+    valid = np.asarray(valid, bool)
+    a = np.minimum(i_idx, j_idx)
+    b = np.maximum(i_idx, j_idx)
+    swap = i_idx > j_idx
+    m = max(int(n_states), 1)
+    key = a * m + b
+    pair = np.zeros(len(i_idx), np.int32)
+    if valid.any():
+        uniq, inv = np.unique(key[valid], return_inverse=True)
+        pair[valid] = inv.astype(np.int32)
+    else:
+        uniq = np.zeros(0, np.int64)
+    npr = _round_up(max(len(uniq), 1), pad_multiple)
+    pa = np.zeros(npr, np.int32)
+    pb = np.zeros(npr, np.int32)
+    pa[: len(uniq)] = uniq // m
+    pb[: len(uniq)] = uniq % m
+    return pair, swap, pa, pb
+
+
+def _wblock_table_np(pose_m, pose_r, lm, valid, n_lms, pad_multiple=1):
+    """Unique (pose, landmark) W-block table + per-row block ids for the
+    measuring-pose and reference-pose entries."""
+    pose_m = np.asarray(pose_m, np.int64)
+    pose_r = np.asarray(pose_r, np.int64)
+    lm = np.asarray(lm, np.int64)
+    valid = np.asarray(valid, bool)
+    m = max(int(n_lms), 1)
+    key_m = pose_m * m + lm
+    key_r = pose_r * m + lm
+    n = len(lm)
+    wb_m = np.zeros(n, np.int32)
+    wb_r = np.zeros(n, np.int32)
+    if valid.any():
+        keys = np.concatenate([key_m[valid], key_r[valid]])
+        uniq, inv = np.unique(keys, return_inverse=True)
+        nv = int(valid.sum())
+        wb_m[valid] = inv[:nv].astype(np.int32)
+        wb_r[valid] = inv[nv:].astype(np.int32)
+    else:
+        uniq = np.zeros(0, np.int64)
+    nw = _round_up(max(len(uniq), 1), pad_multiple)
+    wp = np.zeros(nw, np.int32)
+    wl = np.zeros(nw, np.int32)
+    wp[: len(uniq)] = uniq // m
+    wl[: len(uniq)] = uniq % m
+    return wb_m, wb_r, wp, wl
+
+
+def build_structure_index(proj_pose, proj_ref_pose, proj_lm, proj_valid,
+                          b1, b2, b_valid, i1, i2, i_valid, P, L,
+                          pad_multiple=1):
+    """All host-side sparsity tables from packed numpy index arrays.
+
+    Returns (per_row, tables): per_row has 'pair'/'pair_swap'/'wb_meas'/
+    'wb_ref' for projections and 'bpair'/'bswap'/'ipair'/'iswap' for the
+    binary/IMU families; `tables` is a ProblemIndex.
+    """
+    pair, swap, pa, pb = _pair_table_np(proj_pose, proj_ref_pose,
+                                        proj_valid, P, pad_multiple)
+    wb_m, wb_r, wp, wl = _wblock_table_np(proj_pose, proj_ref_pose, proj_lm,
+                                          proj_valid, L, pad_multiple)
+    bpair, bswap, bpa, bpb = _pair_table_np(b1, b2, b_valid, P, pad_multiple)
+    ipair, iswap, ipa, ipb = _pair_table_np(i1, i2, i_valid, P, pad_multiple)
+    per_row = dict(pair=pair, pair_swap=swap, wb_meas=wb_m, wb_ref=wb_r,
+                   bpair=bpair, bswap=bswap, ipair=ipair, iswap=iswap)
+    tables = ProblemIndex(
+        pair_a=jnp.asarray(pa), pair_b=jnp.asarray(pb),
+        wb_pose=jnp.asarray(wp), wb_lm=jnp.asarray(wl),
+        bpair_a=jnp.asarray(bpa), bpair_b=jnp.asarray(bpb),
+        ipair_a=jnp.asarray(ipa), ipair_b=jnp.asarray(ipb))
+    return per_row, tables
 
 
 @_pytree_dataclass
@@ -252,6 +400,7 @@ class Problem:
     imu: ImuResiduals
     g_vec: jax.Array       # (3,) gravity in world
     marg: MargPrior        # sliding-window marginalization prior
+    pidx: ProblemIndex     # block-structured assembly sparsity tables
 
 
 # ---------------------------------------------------------------------------
@@ -301,12 +450,18 @@ class ProblemBuilder:
 
     # -- states ----------------------------------------------------------
     def add_pose(self, q, t, v=(0.0, 0, 0), b=(0.0,) * 6, active=True,
-                 time=0.0) -> int:
+                 time=0.0, cam_params=None) -> int:
+        """`cam_params` are the pose's own frozen intrinsics (reference
+        AddPose, h:292-303), used when `use_per_pose_cam_params`."""
+        cp = np.zeros(cam_mod.MAX_PARAMS, self.dtype)
+        if cam_params is not None:
+            cp[: len(cam_params)] = cam_params
         self.poses.append(dict(q=np.asarray(q, self.dtype),
                                t=np.asarray(t, self.dtype),
                                v=np.asarray(v, self.dtype),
                                b=np.asarray(b, self.dtype),
-                               active=bool(active), time=float(time)))
+                               active=bool(active), time=float(time),
+                               cam_params=cp))
         return len(self.poses) - 1
 
     def add_landmark(self, x_w, ref_pose: int, ref_cam: int = 0,
@@ -323,8 +478,16 @@ class ProblemBuilder:
     def add_projection_residual(self, z, meas_pose: int, lm: int,
                                 cam: int = 0, weight=1.0):
         """Skips the reference observation in inverse-depth mode (the
-        residual would be identically zero — BundleAdjuster.h:488-501)."""
-        if self.config.lm_size == 1 and meas_pose == self.lms[lm]["ref_pose"]:
+        residual would be identically zero — BundleAdjuster.h:488-501).
+
+        Only the observation from the reference *camera* at the reference
+        pose is skipped (cam_id == lm.ref_cam_id, h:480-501): a same-pose
+        observation from the other camera of a stereo rig is the primary
+        depth constraint and must be kept.
+        """
+        if (self.config.lm_size == 1
+                and meas_pose == self.lms[lm]["ref_pose"]
+                and cam == self.lms[lm]["ref_cam"]):
             # record the reference-view pixel: self-calibration re-unprojects
             # the landmark ray from it when intrinsics move (reference
             # BundleAdjuster.h:488-501 + ApplyUpdate cpp:58-68)
@@ -358,7 +521,8 @@ class ProblemBuilder:
                              time=np.asarray(time, self.dtype), cond=cond))
 
     # -- build -----------------------------------------------------------
-    def build(self, pad_multiple: int = 1) -> Problem:
+    def build(self, pad_multiple: int = 1,
+              with_marg_prior: bool = True) -> Problem:
         dt = self.dtype
         P = _round_up(len(self.poses), pad_multiple)
         L = _round_up(max(len(self.lms), 1), pad_multiple)
@@ -388,6 +552,9 @@ class ProblemBuilder:
                                               for p in self.poses],
                                              bool), P, False)),
             mask=jnp.asarray(self._build_param_mask(P)),
+            cam_params=jnp.asarray(_pad(
+                np.stack([p["cam_params"] for p in self.poses]) if n_p
+                else np.zeros((0, cam_mod.MAX_PARAMS), dt), P)),
         )
 
         n_l = len(self.lms)
@@ -425,6 +592,25 @@ class ProblemBuilder:
         )
 
         n_r = len(self.proj)
+        proj_pose = _pad(np.array([r["pose"] for r in self.proj], np.int32),
+                         Nr)
+        proj_lm = _pad(np.array([r["lm"] for r in self.proj], np.int32), Nr)
+        proj_valid = _pad(np.ones(n_r, bool), Nr, False)
+        lm_ref = np.array([l["ref_pose"] for l in self.lms] + [0],
+                          np.int32)
+        proj_ref = lm_ref[proj_lm]
+        b1_np = _pad(np.array([r["pose1"] for r in self.binary], np.int32),
+                     Nb)
+        b2_np = _pad(np.array([r["pose2"] for r in self.binary], np.int32),
+                     Nb)
+        b_valid = _pad(np.ones(len(self.binary), bool), Nb, False)
+        i1_np = _pad(np.array([r["pose1"] for r in self.imu], np.int32), Ni)
+        i2_np = _pad(np.array([r["pose2"] for r in self.imu], np.int32), Ni)
+        i_valid = _pad(np.ones(len(self.imu), bool), Ni, False)
+        per_row, pidx = build_structure_index(
+            proj_pose, proj_ref, proj_lm, proj_valid,
+            b1_np, b2_np, b_valid, i1_np, i2_np, i_valid,
+            P, L, pad_multiple)
         proj = ProjResiduals(
             z=jnp.asarray(_pad(np.stack([r["z"] for r in self.proj])
                                if n_r else np.zeros((0, 2), dt), Nr)),
@@ -436,9 +622,13 @@ class ProblemBuilder:
                                           np.int32), Nr)),
             weight=jnp.asarray(_pad(np.array([r["weight"]
                                               for r in self.proj], dt), Nr)),
-            valid=jnp.asarray(_pad(np.ones(n_r, bool), Nr, False)),
+            valid=jnp.asarray(proj_valid),
             cond=jnp.asarray(_pad(np.array([r["cond"] for r in self.proj],
                                            bool), Nr, False)),
+            pair=jnp.asarray(per_row["pair"]),
+            pair_swap=jnp.asarray(per_row["pair_swap"]),
+            wb_meas=jnp.asarray(per_row["wb_meas"]),
+            wb_ref=jnp.asarray(per_row["wb_ref"]),
         )
 
         n_u = len(self.unary)
@@ -465,10 +655,8 @@ class ProblemBuilder:
             np.zeros((0, 4), dt)
         id_qb[:n_b] = q_b
         binary = BinaryResiduals(
-            pose1=jnp.asarray(_pad(np.array([r["pose1"] for r in self.binary],
-                                            np.int32), Nb)),
-            pose2=jnp.asarray(_pad(np.array([r["pose2"] for r in self.binary],
-                                            np.int32), Nb)),
+            pose1=jnp.asarray(b1_np),
+            pose2=jnp.asarray(b2_np),
             q=jnp.asarray(id_qb),
             t=jnp.asarray(_pad(np.stack([r["t"] for r in self.binary])
                                if n_b else np.zeros((0, 3), dt), Nb)),
@@ -476,7 +664,9 @@ class ProblemBuilder:
                                                for r in self.binary])
                                      if n_b else np.zeros((0, 6, 6), dt),
                                      Nb)),
-            valid=jnp.asarray(_pad(np.ones(n_b, bool), Nb, False)),
+            valid=jnp.asarray(b_valid),
+            pair=jnp.asarray(per_row["bpair"]),
+            pair_swap=jnp.asarray(per_row["bswap"]),
         )
 
         n_i = len(self.imu)
@@ -493,25 +683,28 @@ class ProblemBuilder:
             t_arr[i, k:] = r["time"][-1] if k else 0.0
             mv_arr[i, :k] = True
         imu = ImuResiduals(
-            pose1=jnp.asarray(_pad(np.array([r["pose1"] for r in self.imu],
-                                            np.int32), Ni)),
-            pose2=jnp.asarray(_pad(np.array([r["pose2"] for r in self.imu],
-                                            np.int32), Ni)),
+            pose1=jnp.asarray(i1_np),
+            pose2=jnp.asarray(i2_np),
             w=jnp.asarray(w_arr), a=jnp.asarray(a_arr),
             time=jnp.asarray(t_arr), meas_valid=jnp.asarray(mv_arr),
             weight=jnp.ones(Ni, dt),
-            valid=jnp.asarray(_pad(np.ones(n_i, bool), Ni, False)),
+            valid=jnp.asarray(i_valid),
             cond=jnp.asarray(_pad(np.array([r["cond"] for r in self.imu],
                                            bool), Ni, False)),
+            pair=jnp.asarray(per_row["ipair"]),
+            pair_swap=jnp.asarray(per_row["iswap"]),
+            c9=jnp.zeros((Ni, 9, 9), dt),
+            c9_set=jnp.zeros((), bool),
         )
 
         g = np.array([0.0, 0.0, -self.config.gravity], dt)
-        marg = empty_marg_prior(P, self.config.pose_dim, poses.t.dtype)
+        marg = empty_marg_prior(P, self.config.pose_dim, poses.t.dtype,
+                                enabled=with_marg_prior)
         marg = dataclasses.replace(marg, lin_q=poses.q, lin_t=poses.t,
                                    lin_v=poses.v, lin_b=poses.b)
         return Problem(poses=poses, lms=lms, rig=rig, proj=proj, unary=unary,
                        binary=binary, imu=imu, g_vec=jnp.asarray(g),
-                       marg=marg)
+                       marg=marg, pidx=pidx)
 
     # -- gauge fixing / regularization (reference cpp:1252-1330) ---------
     def _build_param_mask(self, P):
@@ -613,7 +806,10 @@ def prepare_landmarks(problem: Problem, config: BAConfig) -> Problem:
         norm = jnp.maximum(jnp.linalg.norm(x_s[..., :3], axis=-1,
                                            keepdims=True), 1e-12)
         x_s = x_s / norm
-        params_l = problem.rig.params[lms.ref_cam]
+        if config.use_per_pose_cam_params:
+            params_l = problem.poses.cam_params[lms.ref_pose]
+        else:
+            params_l = problem.rig.params[lms.ref_cam]
         model_l = problem.rig.model[lms.ref_cam]
         ray = cam_mod.unproject(params_l, model_l, lms.z_ref)
         x_meas = jnp.concatenate([ray, x_s[..., 3:4]], axis=-1)

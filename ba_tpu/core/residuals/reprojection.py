@@ -41,47 +41,58 @@ class ProjEval(NamedTuple):
 
 
 def _residual_fn(config: BAConfig):
-    """Per-residual residual-of-tangent function (single example)."""
+    """Per-residual residual-of-tangent function (single example).
+
+    `cam_m` / `cam_r` are the measuring / reference-camera packs
+    (params, model, tvs_q, tvs_t, opt) — the reference gathers the ref
+    side from lm.ref_cam_id (parallel_algos.h:47-48, cpp:159-160), so a
+    stereo rig transforms the landmark ray through the *reference*
+    camera's extrinsics, not the measuring camera's.  `opt` is 1.0 when
+    that camera's calibration is the optimized block (camera 0 — the
+    reference's single shared calib block), so the d_cal tangent only
+    perturbs the calibrated camera.
+    """
     lm = config.lm_size
     cd = config.calib_dim
 
-    def r_of(delta, z, pose_m, pose_r, x, cam_params, model, tvs, z_ref,
-             has_z_ref):
+    def r_of(delta, z, pose_m, pose_r, x, cam_m, cam_r, z_ref, has_z_ref):
         d_m, d_r = delta[0:6], delta[6:12]
         d_lm = delta[12:12 + lm]
         d_cal = delta[12 + lm:12 + lm + cd]
 
+        params_m, model_m, tvs_qm, tvs_tm, opt_m = cam_m
+        params_r, model_r, tvs_qr, tvs_tr, opt_r = cam_r
+
         q_m, t_m = lie.se3_retract(pose_m, d_m)
-        params = cam_params
         if config.calib_size:
-            params = params.at[:config.calib_size].add(
-                d_cal[:config.calib_size])
-        tvs_q, tvs_t = tvs
+            dk = d_cal[:config.calib_size]
+            params_m = params_m.at[:config.calib_size].add(dk * opt_m)
+            params_r = params_r.at[:config.calib_size].add(dk * opt_r)
         if config.do_tvs:
-            tvs_q, tvs_t = lie.se3_retract((tvs_q, tvs_t),
-                                           d_cal[config.tvs_offset:
-                                                 config.tvs_offset + 6])
+            dtvs = d_cal[config.tvs_offset:config.tvs_offset + 6]
+            tvs_qm, tvs_tm = lie.se3_retract((tvs_qm, tvs_tm), dtvs * opt_m)
+            tvs_qr, tvs_tr = lie.se3_retract((tvs_qr, tvs_tr), dtvs * opt_r)
 
         if lm == 1:
             q_r, t_r = lie.se3_retract(pose_r, d_r)
             x_s = x.at[3].add(d_lm[0])
             if config.calib_size:
                 # self-calibration: the ray direction is the unprojection of
-                # the reference-view pixel through the *current* intrinsics,
-                # so the calibration Jacobian carries the direction effect
-                # exactly (the reference instead re-unprojects after each
-                # update, ApplyUpdate cpp:58-68)
-                ray = camera.unproject(params, model, z_ref)
+                # the reference-view pixel through the *current* intrinsics
+                # of the reference camera, so the calibration Jacobian
+                # carries the direction effect exactly (the reference
+                # instead re-unprojects after each update, cpp:58-68)
+                ray = camera.unproject(params_r, model_r, z_ref)
                 x_s = jnp.where(has_z_ref,
                                 jnp.concatenate([ray, x_s[3:4]]), x_s)
-            T_ws_ref = lie.se3_compose((q_r, t_r), (tvs_q, tvs_t))
+            T_ws_ref = lie.se3_compose((q_r, t_r), (tvs_qr, tvs_tr))
             x_w = lie.se3_transform_homog(T_ws_ref, x_s)
         else:
             xyz = x[:3] + (d_lm if lm == 3 else 0.0)
             x_w = jnp.concatenate([xyz, jnp.ones_like(x[3:4])])
-        T_ws_meas = lie.se3_compose((q_m, t_m), (tvs_q, tvs_t))
+        T_ws_meas = lie.se3_compose((q_m, t_m), (tvs_qm, tvs_tm))
         p_s = lie.se3_transform_homog(lie.se3_inverse(T_ws_meas), x_w)
-        pix = camera.project(params, model, p_s[:3])
+        pix = camera.project(params_m, model_m, p_s[:3])
         return z - pix
 
     return r_of
@@ -95,7 +106,9 @@ def evaluate(problem: Problem, config: BAConfig,
     row 0, but `valid` masks the outputs).
     """
     if (config.use_pallas_proj and with_jacobians and config.lm_size == 1
-            and config.calib_dim == 0):
+            and config.calib_dim == 0
+            and not config.use_per_pose_cam_params):
+        # kernel scope: linear/FOV camera models, rig-owned intrinsics
         from ...ops.reprojection_pallas import evaluate_pallas
 
         return evaluate_pallas(problem, config)
@@ -106,26 +119,38 @@ def evaluate(problem: Problem, config: BAConfig,
     r_of = _residual_fn(config)
 
     poses = problem.poses
+    rig = problem.rig
     pose_m = (poses.q[pr.pose], poses.t[pr.pose])
     ref_pose = problem.lms.ref_pose[pr.lm]
+    ref_cam = problem.lms.ref_cam[pr.lm]
     pose_r = (poses.q[ref_pose], poses.t[ref_pose])
     x = problem.lms.x[pr.lm]
-    cam_params = problem.rig.params[pr.cam]
-    model = problem.rig.model[pr.cam]
-    tvs = (problem.rig.tvs_q[pr.cam], problem.rig.tvs_t[pr.cam])
+    # measuring-camera and reference-camera packs; `opt` flags camera 0 as
+    # the calibrated block (see _residual_fn docstring).  With
+    # use_per_pose_cam_params the intrinsics come from each pose's own
+    # frozen vector instead of the rig (reference cpp:163-175).
+    if config.use_per_pose_cam_params:
+        params_m = poses.cam_params[pr.pose]
+        params_r = poses.cam_params[ref_pose]
+    else:
+        params_m = rig.params[pr.cam]
+        params_r = rig.params[ref_cam]
+    cam_m = (params_m, rig.model[pr.cam], rig.tvs_q[pr.cam],
+             rig.tvs_t[pr.cam], (pr.cam == 0).astype(dtype))
+    cam_r = (params_r, rig.model[ref_cam], rig.tvs_q[ref_cam],
+             rig.tvs_t[ref_cam], (ref_cam == 0).astype(dtype))
     z_ref = problem.lms.z_ref[pr.lm]
     has_z_ref = problem.lms.has_z_ref[pr.lm]
 
     zeros = jnp.zeros((pr.z.shape[0], tdim), dtype)
 
-    def single(delta, z, pm_q, pm_t, prq, prt, xx, cp, md, tq, tt, zr, hzr):
-        return r_of(delta, z, (pm_q, pm_t), (prq, prt), xx, cp, md,
-                    (tq, tt), zr, hzr)
+    def single(delta, z, pm_q, pm_t, prq, prt, xx, cm, cr, zr, hzr):
+        return r_of(delta, z, (pm_q, pm_t), (prq, prt), xx, cm, cr, zr, hzr)
 
-    in_axes = (0,) * 13
+    in_axes = (0,) * 11
     r = jax.vmap(single, in_axes=in_axes)(
         zeros, pr.z, pose_m[0], pose_m[1], pose_r[0], pose_r[1], x,
-        cam_params, model, tvs[0], tvs[1], z_ref, has_z_ref)
+        cam_m, cam_r, z_ref, has_z_ref)
 
     valid = pr.valid
     r = jnp.where(valid[:, None], r, 0.0)
@@ -137,7 +162,7 @@ def evaluate(problem: Problem, config: BAConfig,
 
     J = jax.vmap(jax.jacfwd(single), in_axes=in_axes)(
         zeros, pr.z, pose_m[0], pose_m[1], pose_r[0], pose_r[1], x,
-        cam_params, model, tvs[0], tvs[1], z_ref, has_z_ref)  # (Nr, 2, tdim)
+        cam_m, cam_r, z_ref, has_z_ref)  # (Nr, 2, tdim)
     # measuring pose == reference pose contributes no pose gradient
     # (parallel_algos.h: dz_dx zeroed when meas == ref); also mask invalids.
     same = (pr.pose == ref_pose) & (config.lm_size == 1)

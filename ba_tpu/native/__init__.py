@@ -82,7 +82,7 @@ def _declare(lib):
     lib.pb_add_camera.restype = i
     lib.pb_add_camera.argtypes = [vp, dp, i, i, dp, dp]
     lib.pb_add_pose.restype = i
-    lib.pb_add_pose.argtypes = [vp, dp, dp, dp, dp, i, d]
+    lib.pb_add_pose.argtypes = [vp, dp, dp, dp, dp, dp, i, d]
     lib.pb_add_landmark.restype = i
     lib.pb_add_landmark.argtypes = [vp, dp, i, i, i]
     lib.pb_add_projection.restype = i
@@ -92,7 +92,8 @@ def _declare(lib):
     lib.pb_add_imu.argtypes = [vp, i, i, i, dp, dp, dp]
     lib.pb_counts.argtypes = [vp, i64p]
     lib.pb_build_mask.argtypes = [vp, u8p]
-    lib.pb_pack_poses.argtypes = [vp, dp, dp, dp, dp, dp, u8p]
+    lib.pb_pack_poses.argtypes = [vp, dp, dp, dp, dp, dp, i, dp,
+                                  u8p]
     lib.pb_pack_landmarks.argtypes = [vp, dp, i32p, i32p, u8p, dp, u8p]
     lib.pb_pack_cameras.argtypes = [vp, dp, i32p, dp, dp, i]
     lib.pb_pack_proj.argtypes = [vp, dp, i32p, i32p, i32p, dp, u8p, u8p]
@@ -182,10 +183,11 @@ class NativeProblemBuilder:
                                        _dptr(_arr(tvs_t)))
 
     def add_pose(self, q, t, v=(0.0, 0, 0), b=(0.0,) * 6, active=True,
-                 time=0.0) -> int:
+                 time=0.0, cam_params=None) -> int:
+        cp = _arr(cam_params if cam_params is not None else (), 8)
         return self._lib.pb_add_pose(self._h, _dptr(_arr(q)), _dptr(_arr(t)),
                                      _dptr(_arr(v)), _dptr(_arr(b)),
-                                     int(active), float(time))
+                                     _dptr(cp), int(active), float(time))
 
     def add_landmark(self, x_w, ref_pose, ref_cam=0, active=True) -> int:
         x = _arr(x_w)
@@ -224,7 +226,7 @@ class NativeProblemBuilder:
         from ..core.problem import (BinaryResiduals, ImuResiduals,
                                     LandmarkStates, PoseStates, Problem,
                                     ProjResiduals, Rig, UnaryResiduals,
-                                    empty_marg_prior)
+                                    build_structure_index, empty_marg_prior)
         import dataclasses as dc
 
         def rnd(n):
@@ -249,16 +251,19 @@ class NativeProblemBuilder:
 
         q, t, v, b = z((P, 4)), z((P, 3)), z((P, 3)), z((P, 6))
         q[:, 0] = 1.0
+        pcp = z((P, cam_mod.MAX_PARAMS))
         time_, act = z(P), z(P, np.uint8)
         mask = z((P, 15), np.uint8)
         self._lib.pb_pack_poses(self._h, _dptr(q), _dptr(t), _dptr(v),
-                                _dptr(b), _dptr(time_), u8p(act))
+                                _dptr(b), _dptr(pcp), cam_mod.MAX_PARAMS,
+                                _dptr(time_), u8p(act))
         self._lib.pb_build_mask(self._h, u8p(mask))
         poses = PoseStates(q=jnp.asarray(q), t=jnp.asarray(t),
                            v=jnp.asarray(v), b=jnp.asarray(b),
                            time=jnp.asarray(time_),
                            active=jnp.asarray(act.astype(bool)),
-                           mask=jnp.asarray(mask.astype(bool)))
+                           mask=jnp.asarray(mask.astype(bool)),
+                           cam_params=jnp.asarray(pcp))
 
         x_w, zr = z((L, 4)), z((L, 2))
         rp, rc = z(L, np.int32), z(L, np.int32)
@@ -291,11 +296,6 @@ class NativeProblemBuilder:
         pv, pcond = z(Nr, np.uint8), z(Nr, np.uint8)
         self._lib.pb_pack_proj(self._h, _dptr(pz), i32(pp), i32(pl), i32(pc),
                                _dptr(pw), u8p(pv), u8p(pcond))
-        proj = ProjResiduals(z=jnp.asarray(pz), pose=jnp.asarray(pp),
-                             lm=jnp.asarray(pl), cam=jnp.asarray(pc),
-                             weight=jnp.asarray(pw),
-                             valid=jnp.asarray(pv.astype(bool)),
-                             cond=jnp.asarray(pcond.astype(bool)))
 
         uq, ut, uc = z((Nu, 4)), z((Nu, 3)), z((Nu, 6, 6))
         up, uv = z(Nu, np.int32), z(Nu, np.uint8)
@@ -311,10 +311,6 @@ class NativeProblemBuilder:
         bq[:, 0] = 1.0
         self._lib.pb_pack_binary(self._h, _dptr(bq), _dptr(bt), _dptr(bc),
                                  i32(b1), i32(b2), u8p(bv))
-        binary = BinaryResiduals(pose1=jnp.asarray(b1), pose2=jnp.asarray(b2),
-                                 q=jnp.asarray(bq), t=jnp.asarray(bt),
-                                 cov_inv=jnp.asarray(bc),
-                                 valid=jnp.asarray(bv.astype(bool)))
 
         i1, i2 = z(Ni, np.int32), z(Ni, np.int32)
         iw, ia = z((Ni, M, 3)), z((Ni, M, 3))
@@ -323,13 +319,39 @@ class NativeProblemBuilder:
         self._lib.pb_pack_imu(self._h, M, i32(i1), i32(i2), _dptr(iw),
                               _dptr(ia), _dptr(it), u8p(imv), u8p(iv),
                               u8p(ic))
+
+        # host-side sparsity tables for block-structured assembly (shared
+        # with the Python builder — see core.problem.build_structure_index)
+        per_row, pidx = build_structure_index(
+            pp, rp[pl], pl, pv.astype(bool),
+            b1, b2, bv.astype(bool), i1, i2, iv.astype(bool),
+            P, L, pad_multiple)
+        proj = ProjResiduals(z=jnp.asarray(pz), pose=jnp.asarray(pp),
+                             lm=jnp.asarray(pl), cam=jnp.asarray(pc),
+                             weight=jnp.asarray(pw),
+                             valid=jnp.asarray(pv.astype(bool)),
+                             cond=jnp.asarray(pcond.astype(bool)),
+                             pair=jnp.asarray(per_row["pair"]),
+                             pair_swap=jnp.asarray(per_row["pair_swap"]),
+                             wb_meas=jnp.asarray(per_row["wb_meas"]),
+                             wb_ref=jnp.asarray(per_row["wb_ref"]))
+        binary = BinaryResiduals(pose1=jnp.asarray(b1), pose2=jnp.asarray(b2),
+                                 q=jnp.asarray(bq), t=jnp.asarray(bt),
+                                 cov_inv=jnp.asarray(bc),
+                                 valid=jnp.asarray(bv.astype(bool)),
+                                 pair=jnp.asarray(per_row["bpair"]),
+                                 pair_swap=jnp.asarray(per_row["bswap"]))
         imu = ImuResiduals(pose1=jnp.asarray(i1), pose2=jnp.asarray(i2),
                            w=jnp.asarray(iw), a=jnp.asarray(ia),
                            time=jnp.asarray(it),
                            meas_valid=jnp.asarray(imv.astype(bool)),
                            weight=jnp.ones(Ni),
                            valid=jnp.asarray(iv.astype(bool)),
-                           cond=jnp.asarray(ic.astype(bool)))
+                           cond=jnp.asarray(ic.astype(bool)),
+                           pair=jnp.asarray(per_row["ipair"]),
+                           pair_swap=jnp.asarray(per_row["iswap"]),
+                           c9=jnp.zeros((Ni, 9, 9)),
+                           c9_set=jnp.zeros((), bool))
 
         g = np.array([0.0, 0.0, -self.config.gravity])
         marg = empty_marg_prior(P, self.config.pose_dim, jnp.asarray(t).dtype)
@@ -337,4 +359,4 @@ class NativeProblemBuilder:
                           lin_b=poses.b)
         return Problem(poses=poses, lms=lms, rig=rig, proj=proj, unary=unary,
                        binary=binary, imu=imu, g_vec=jnp.asarray(g),
-                       marg=marg)
+                       marg=marg, pidx=pidx)

@@ -21,7 +21,7 @@
 namespace {
 
 struct Pose {
-  double q[4], t[3], v[3], b[6], time;
+  double q[4], t[3], v[3], b[6], cam_params[8], time;
   bool active;
 };
 
@@ -96,14 +96,18 @@ int pb_add_camera(void* h, const double* params, int n_params, int model,
   return static_cast<int>(b->cams.size()) - 1;
 }
 
+// cam_params: per-pose frozen intrinsics (reference AddPose, h:292-303);
+// pass 8 doubles (zero-padded).
 int pb_add_pose(void* h, const double* q, const double* t, const double* v,
-                const double* bias, int active, double time) {
+                const double* bias, const double* cam_params, int active,
+                double time) {
   Builder* b = static_cast<Builder*>(h);
   Pose p{};
   std::memcpy(p.q, q, sizeof(p.q));
   std::memcpy(p.t, t, sizeof(p.t));
   std::memcpy(p.v, v, sizeof(p.v));
   std::memcpy(p.b, bias, sizeof(p.b));
+  std::memcpy(p.cam_params, cam_params, sizeof(p.cam_params));
   p.active = active != 0;
   p.time = time;
   b->poses.push_back(p);
@@ -125,11 +129,14 @@ int pb_add_landmark(void* h, const double* x_w4, int ref_pose, int ref_cam,
 
 // Returns 1 if the residual was added, 0 if skipped (reference-view
 // observation in inverse-depth mode — records z_ref instead,
-// BundleAdjuster.h:488-501).
+// BundleAdjuster.h:488-501).  Only the ref-camera observation at the ref
+// pose is skipped (cam_id == lm.ref_cam_id, h:480-501); same-pose
+// cross-camera (stereo) observations are kept.
 int pb_add_projection(void* h, const double* z, int pose, int lm, int cam,
                       double weight) {
   Builder* b = static_cast<Builder*>(h);
-  if (b->lm_size == 1 && pose == b->lms[lm].ref_pose) {
+  if (b->lm_size == 1 && pose == b->lms[lm].ref_pose &&
+      cam == b->lms[lm].ref_cam) {
     std::memcpy(b->lms[lm].z_ref, z, sizeof(double) * 2);
     b->lms[lm].has_z_ref = true;
     return 0;
@@ -211,11 +218,12 @@ void pb_build_mask(void* h, uint8_t* mask) {
     has_inertial[s.pose1] = has_inertial[s.pose2] = true;
     has_any[s.pose1] = has_any[s.pose2] = true;
   }
+  // ref poses become constrained only through projection rows (matching
+  // the Python builder — a landmark with zero residuals constrains nothing)
   for (const auto& r : b->proj) {
     has_any[r.pose] = true;
     has_any[b->lms[r.lm].ref_pose] = true;
   }
-  for (const auto& l : b->lms) has_any[l.ref_pose] = true;
   for (const auto& r : b->unary) has_any[r.pose1] = true;
   for (const auto& r : b->binary) {
     has_any[r.pose1] = true;
@@ -261,8 +269,10 @@ void pb_build_mask(void* h, uint8_t* mask) {
   }
 }
 
+// cam_params out buffer is (P, max_params) caller-zeroed.
 void pb_pack_poses(void* h, double* q, double* t, double* v, double* bias,
-                   double* time, uint8_t* active) {
+                   double* cam_params, int max_params, double* time,
+                   uint8_t* active) {
   Builder* b = static_cast<Builder*>(h);
   for (size_t i = 0; i < b->poses.size(); ++i) {
     const Pose& p = b->poses[i];
@@ -270,6 +280,8 @@ void pb_pack_poses(void* h, double* q, double* t, double* v, double* bias,
     std::memcpy(t + 3 * i, p.t, sizeof(p.t));
     std::memcpy(v + 3 * i, p.v, sizeof(p.v));
     std::memcpy(bias + 6 * i, p.b, sizeof(p.b));
+    std::memcpy(cam_params + max_params * i, p.cam_params,
+                sizeof(double) * max_params);
     time[i] = p.time;
     active[i] = p.active ? 1 : 0;
   }

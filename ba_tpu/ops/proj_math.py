@@ -27,13 +27,17 @@ import jax.numpy as jnp
 #  9:12  q_r (4)
 # 13:15  t_r (3)
 # 16:19  x_s (4: ray xyz + rho)
-# 20:24  cam params (fx fy cx cy w)
+# 20:24  cam params of the measuring camera (fx fy cx cy w)
 # 25    k = 2*tan(w/2)  (precomputed — Mosaic has no tan lowering)
 # 26    model (0 linear / 1 fov)
 # 27    valid (0/1)
-# 28:31  tvs_q (4)
-# 32:34  tvs_t (3)
-N_FEAT = 35
+# 28:31  tvs_q of the measuring camera (4)
+# 32:34  tvs_t of the measuring camera (3)
+# 35:38  tvs_q of the landmark's reference camera (4)
+# 39:41  tvs_t of the landmark's reference camera (3)
+# 42    same-pose flag (meas pose == ref pose: pose Jacobians exactly zero,
+#       parallel_algos.h — relied on for stereo same-pose rows)
+N_FEAT = 43
 
 # output layout (rows of the (N_OUT, TILE) block)
 #  0: 1  r (2)
@@ -105,13 +109,19 @@ def proj_forward(feat, atan_fn=jnp.arctan):
     k = feat[25]
     model = feat[26]
     valid = feat[27]
-    q_v = (feat[28], feat[29], feat[30], feat[31])
+    q_v = (feat[28], feat[29], feat[30], feat[31])    # meas-camera T_vs
     t_v = (feat[32], feat[33], feat[34])
+    q_vr = (feat[35], feat[36], feat[37], feat[38])   # ref-camera T_vs
+    t_vr = (feat[39], feat[40], feat[41])
+    same = feat[42]
 
     # --- transfer chain ------------------------------------------------
-    # w1 = Rv x_s ;  x_w3 = R2 w1 + (t_r + R2 t_v) rho
-    w1 = _rot_apply(q_v, x_s)
-    r2tv = _rot_apply(q_r, t_v)
+    # Ref side uses the landmark's reference camera's extrinsics (q_vr,
+    # t_vr — reference parallel_algos.h:47-48), the meas side the measuring
+    # camera's (q_v, t_v):
+    # w1 = Rvr x_s ;  x_w3 = R2 w1 + (t_r + R2 t_vr) rho
+    w1 = _rot_apply(q_vr, x_s)
+    r2tv = _rot_apply(q_r, t_vr)
     t_wsr = (t_r[0] + r2tv[0], t_r[1] + r2tv[1], t_r[2] + r2tv[2])
     r2w1 = _rot_apply(q_r, w1)
     x_w = (r2w1[0] + t_wsr[0] * rho,
@@ -197,13 +207,13 @@ def proj_forward(feat, atan_fn=jnp.arctan):
     jr = [None] * 6
     for c, ec in enumerate((e0, e1, e2)):
         jr[c] = dpix((rho * ec[0], rho * ec[1], rho * ec[2]))
-    # ref rotation: v_c = w1 x e_c + rho (t_v x e_c); dir = -Rv^T R1^T R2 v_c
+    # ref rotation: v_c = w1 x e_c + rho (t_vr x e_c); dir = -Rv^T R1^T R2 v_c
     for c in range(3):
         ec = [zero, zero, zero]
         ec[c] = one
         ec = tuple(ec)
         v1c = _cross(w1, ec)
-        v2c = _cross(t_v, ec)
+        v2c = _cross(t_vr, ec)
         vc = (v1c[0] + rho * v2c[0], v1c[1] + rho * v2c[1],
               v1c[2] + rho * v2c[2])
         d3 = _rot_apply_t(q_v, _rot_apply_t(q_m, _rot_apply(q_r, vc)))
@@ -214,12 +224,16 @@ def proj_forward(feat, atan_fn=jnp.arctan):
     jl = dpix((drho[0] - rvtv[0], drho[1] - rvtv[1], drho[2] - rvtv[2]))
 
     # --- pack, masked ----------------------------------------------------
+    # same-pose rows: pose Jacobians are exactly zero (meas and ref
+    # perturbations cancel); zero them here instead of relying on f32
+    # cancellation of j_meas + j_ref in the scatter-add downstream
     v = valid
+    vp = valid * (1.0 - same)
     rows = [r_out0 * v, r_out1 * v]
-    rows += [jm[c][0] * v for c in range(6)]
-    rows += [jm[c][1] * v for c in range(6)]
-    rows += [jr[c][0] * v for c in range(6)]
-    rows += [jr[c][1] * v for c in range(6)]
+    rows += [jm[c][0] * vp for c in range(6)]
+    rows += [jm[c][1] * vp for c in range(6)]
+    rows += [jr[c][0] * vp for c in range(6)]
+    rows += [jr[c][1] * vp for c in range(6)]
     rows += [jl[0] * v, jl[1] * v]
     rows += [(r_out0 * r_out0 + r_out1 * r_out1) * v]
     return jnp.stack(rows, axis=0)

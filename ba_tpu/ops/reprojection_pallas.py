@@ -46,6 +46,7 @@ def gather_features(problem, config):
     poses = problem.poses
     lms = problem.lms
     ref_pose = lms.ref_pose[pr.lm]
+    ref_cam = lms.ref_cam[pr.lm]
     dtype = pr.z.dtype
     k = 2.0 * jnp.tan(0.5 * problem.rig.params[:, 4])
     cols = jnp.concatenate([
@@ -58,6 +59,8 @@ def gather_features(problem, config):
         problem.rig.model[pr.cam].astype(dtype)[:, None],
         pr.valid.astype(dtype)[:, None],
         problem.rig.tvs_q[pr.cam], problem.rig.tvs_t[pr.cam],
+        problem.rig.tvs_q[ref_cam], problem.rig.tvs_t[ref_cam],
+        (pr.pose == ref_pose).astype(dtype)[:, None],
     ], axis=1)
     return cols.T
 

@@ -83,5 +83,22 @@ def test_param_jacobian_finite():
     params = jnp.asarray(FOV_PARAMS)
     p = jnp.array([0.3, -0.2, 1.5])
     J = jax.jacfwd(lambda k: camera.project(k, camera.MODEL_FOV, p))(params)
-    assert J.shape == (2, camera.MAX_PARAMS)
+    assert J.shape == (2, len(FOV_PARAMS))
     assert np.all(np.isfinite(J))
+
+
+def test_project_z_near_zero_is_finite():
+    """z_safe guard (camera.py): projection and its Jacobian must stay
+    finite for rays with z at/near zero (VERDICT round-1 hygiene item)."""
+    params = jnp.asarray(FOV_PARAMS)
+    rays = jnp.asarray(np.array([
+        [0.3, -0.2, 0.0],
+        [0.3, -0.2, 1e-12],
+        [0.3, -0.2, -1e-12],
+        [1.0, 1.0, 1e-30],
+    ]))
+    pix = camera.project(params, camera.MODEL_FOV, rays)
+    assert bool(jnp.all(jnp.isfinite(pix)))
+    J = jax.vmap(jax.jacfwd(
+        lambda r: camera.project(params, camera.MODEL_FOV, r)))(rays)
+    assert bool(jnp.all(jnp.isfinite(J)))
