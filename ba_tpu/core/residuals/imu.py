@@ -50,6 +50,9 @@ class ImuEval(NamedTuple):
     err_sq: jax.Array   # (Ni,) squared mahalanobis error
     y_t: jax.Array      # (Ni, 3) integrated position (diagnostics)
     y_v: jax.Array      # (Ni, 3) integrated velocity
+    c9: jax.Array       # (Ni, 9, 9) integrated residual covariance (the
+                        # quantity `calculate_inertial_covariance_once`
+                        # caches, reference parallel_algos.h:190-205)
 
 
 def _quat_deriv(q, w_body):
@@ -117,47 +120,66 @@ def integrate_span(q1, t1, v1, b, w, a, times, g):
 
 
 def integrate_full(q1, t1, v1, b, w, a, times, g, r_imu):
-    """One scan accumulating (y, C10, Phi = dy/dy0, Bsum = dy/db).
+    """(y, C10, Phi = dy/dy0, Bsum = dy/db) over one measurement span.
 
-    Per-step A = d(step)/d(state) and B = d(step)/d(bias) from jacfwd of the
-    single RK4 step; the reference accumulates the same quantities by hand
-    (IntegrateImu dy_dy0/dy_db pushforward, Types.h:486-608).
+    The reference accumulates these with a hand pushforward inside the
+    sequential RK4 loop (IntegrateImu dy_dy0/dy_db, Types.h:486-608).  The
+    TPU formulation breaks the latency chain instead:
+
+      1. one *cheap* sequential scan for the state trajectory only;
+      2. per-step A = d(step)/d(state), B = d(step)/d(bias) by `jacfwd`
+         of the single RK4 step, **vmapped over all steps at once** (each
+         A_k depends only on the pre-step state y_k, not on any Jacobian);
+      3. the products Phi = A_M...A_1, Bsum = sum A.. B_k and the Euler
+         covariance recursion C <- A C A^T + Q are *associative* affine
+         compositions -> one `lax.associative_scan` of 10x10 blocks
+         (log-depth instead of M sequential matmuls).
+
+    Padded steps (dt == 0) contribute exact identity elements.
     """
     bg, ba = b[:3], b[3:]
-
-    def stepfn(y10, dbias, m0w, m0a, m1w, m1a, dt):
-        y = _unflat(y10)
-        yn = _rk4_step(y, (m0w, m0a), (m1w, m1a), dt, dbias[:3] + bg,
-                       dbias[3:] + ba, g)
-        return _flat(yn)
-
-    def scan_body(carry, inp):
-        y10, C, Phi, Bsum = carry
-        m0w, m0a, m1w, m1a, dt = inp
-        zeros_b = jnp.zeros(6, y10.dtype)
-        A = jax.jacfwd(stepfn, argnums=0)(y10, zeros_b, m0w, m0a, m1w, m1a,
-                                          dt)
-        B = jax.jacfwd(stepfn, argnums=1)(y10, zeros_b, m0w, m0a, m1w, m1a,
-                                          dt)
-        y_new = stepfn(y10, zeros_b, m0w, m0a, m1w, m1a, dt)
-        dt_safe = jnp.maximum(dt, 1e-12)
-        C_new = A @ C @ A.T + (B * r_imu[None, :] / dt_safe) @ B.T
-        Phi_new = A @ Phi
-        Bsum_new = A @ Bsum + B
-        ok = dt > 0
-        y10 = jnp.where(ok, y_new, y10)
-        C = jnp.where(ok, C_new, C)
-        Phi = jnp.where(ok, Phi_new, Phi)
-        Bsum = jnp.where(ok, Bsum_new, Bsum)
-        return (y10, C, Phi, Bsum), None
-
     y0 = _flat((t1, q1, v1))
     dtype = y0.dtype
-    carry0 = (y0, jnp.zeros((10, 10), dtype), jnp.eye(10, dtype=dtype),
-              jnp.zeros((10, 6), dtype))
+
+    # pass 1: state trajectory (pre-step states y_k)
+    def step(y10, inp):
+        m0w, m0a, m1w, m1a, dt = inp
+        yn = _flat(_rk4_step(_unflat(y10), (m0w, m0a), (m1w, m1a), dt,
+                             bg, ba, g))
+        return jnp.where(dt > 0, yn, y10), y10
+
     inps = (w[:-1], a[:-1], w[1:], a[1:], times[1:] - times[:-1])
-    (y10, C, Phi, Bsum), _ = jax.lax.scan(scan_body, carry0, inps)
-    return y10, C, Phi, Bsum
+    y_final, y_pre = jax.lax.scan(step, y0, inps)
+
+    # pass 2: per-step A/B/Q, batched (no sequential dependency)
+    def stepAB(y10, m0w, m0a, m1w, m1a, dt):
+        def f(z):
+            yn = _flat(_rk4_step(_unflat(z[:10]), (m0w, m0a), (m1w, m1a),
+                                 dt, z[10:13] + bg, z[13:16] + ba, g))
+            return yn, yn
+
+        J, _ = jax.jacfwd(f, has_aux=True)(
+            jnp.concatenate([y10, jnp.zeros(6, dtype)]))
+        A, B = J[:, :10], J[:, 10:]
+        dt_safe = jnp.maximum(dt, 1e-12)
+        Q = (B * r_imu[None, :] / dt_safe) @ B.T
+        on = dt > 0
+        A = jnp.where(on, A, jnp.eye(10, dtype=dtype))
+        B = jnp.where(on, B, 0.0)
+        Q = jnp.where(on, Q, 0.0)
+        return A, B, Q
+
+    A_k, B_k, Q_k = jax.vmap(stepAB)(y_pre, *inps)
+
+    # pass 3: associative composition (later after earlier)
+    def combine(x, y):
+        A1, B1, Q1 = x
+        A2, B2, Q2 = y
+        return (A2 @ A1, A2 @ B1 + B2, A2 @ Q1 @ jnp.swapaxes(A2, -1, -2)
+                + Q2)
+
+    Phi_s, Bsum_s, C_s = jax.lax.associative_scan(combine, (A_k, B_k, Q_k))
+    return y_final, C_s[-1], Phi_s[-1], Bsum_s[-1]
 
 
 # kept for tests / covariance-only callers
@@ -184,8 +206,16 @@ def _dy0_dtangent(q1, dtype):
     return J.at[3:7, 3:6].set(qcols)
 
 
-def evaluate(problem, config, with_jacobians: bool = True) -> ImuEval:
-    """Residuals + Jacobians + information weighting for every IMU span."""
+def evaluate(problem, config, with_jacobians: bool = True,
+             c9=None) -> ImuEval:
+    """Residuals + Jacobians + information weighting for every IMU span.
+
+    `c9` optionally supplies the (Ni, 9, 9) residual covariance from a
+    previous build so cost-only evaluation (dogleg trial costs) skips the
+    covariance propagation entirely — the reference evaluates trial costs
+    without Jacobians and keeps the build's covariance (cpp:236-238,
+    `calculate_inertial_covariance_once` parallel_algos.h:190-205).
+    """
     im = problem.imu
     poses = problem.poses
     dtype = poses.t.dtype
@@ -213,10 +243,11 @@ def evaluate(problem, config, with_jacobians: bool = True) -> ImuEval:
 
         r, yts, yvs = jax.vmap(residual_only)(
             q1, t1, v1, b1, q2, t2, v2, b2, im.w, im.a, im.time)
-        cov_inv = _cov_inv(problem, config, r_imu, q1, t1, v1, b1, q2, t2,
-                           im)
+        if c9 is None:
+            c9 = _c9(problem, config, r_imu, q1, t1, v1, b1, q2, t2, im)
+        cov_inv = _cov_inv_from_c9(problem, config, c9, im, dtype)
         return _whiten_pack(problem, config, r, None, None, cov_inv,
-                            with_jacobians=False, y_t=yts, y_v=yvs)
+                            with_jacobians=False, y_t=yts, y_v=yvs, c9=c9)
 
     def one(q1, t1, v1, b1, q2, t2, v2, b2, w, a, times):
         y10, C10, Phi, Bsum = integrate_full(q1, t1, v1, b1, w, a, times,
@@ -241,6 +272,10 @@ def evaluate(problem, config, with_jacobians: bool = True) -> ImuEval:
 
     r9, J1s, J1b, J2s, C9 = jax.vmap(one)(
         q1, t1, v1, b1, q2, t2, v2, b2, im.w, im.a, im.time)
+    if config.calculate_inertial_covariance_once:
+        # reuse the covariance cached in the problem pytree once set
+        # (reference parallel_algos.h:190-205)
+        C9 = jnp.where(problem.imu.c9_set, problem.imu.c9, C9)
 
     Ni = im.pose1.shape[0]
     if config.bias_in_state:
@@ -262,12 +297,11 @@ def evaluate(problem, config, with_jacobians: bool = True) -> ImuEval:
 
     cov_inv = _cov_inv_from_c9(problem, config, C9, im, dtype)
     return _whiten_pack(problem, config, r, j1, j2, cov_inv,
-                        with_jacobians=True, y_t=t1, y_v=v1)
+                        with_jacobians=True, y_t=t1, y_v=v1, c9=C9)
 
 
-def _cov_inv(problem, config, r_imu, q1, t1, v1, b1, q2, t2, im):
-    """Covariance path for the no-jacobian call (cost evaluation)."""
-    dtype = t1.dtype
+def _c9(problem, config, r_imu, q1, t1, v1, b1, q2, t2, im):
+    """Integrated residual covariance when no cache is supplied."""
     g = problem.g_vec
 
     def cov_one(q1, t1, v1, b1, q2, t2, w, a, times):
@@ -282,8 +316,7 @@ def _cov_inv(problem, config, r_imu, q1, t1, v1, b1, q2, t2, im):
         Jy = jax.jacfwd(res_of_y)(y10)
         return Jy @ C10 @ Jy.T
 
-    C9 = jax.vmap(cov_one)(q1, t1, v1, b1, q2, t2, im.w, im.a, im.time)
-    return _cov_inv_from_c9(problem, config, C9, im, dtype)
+    return jax.vmap(cov_one)(q1, t1, v1, b1, q2, t2, im.w, im.a, im.time)
 
 
 def _cov_inv_from_c9(problem, config, C9, im, dtype):
@@ -310,7 +343,7 @@ def _cov_inv_from_c9(problem, config, C9, im, dtype):
 
 
 def _whiten_pack(problem, config, r, j1, j2, cov_inv, with_jacobians,
-                 y_t, y_v):
+                 y_t, y_v, c9):
     im = problem.imu
     dtype = r.dtype
     D = config.pose_dim
@@ -324,9 +357,9 @@ def _whiten_pack(problem, config, r, j1, j2, cov_inv, with_jacobians,
     err_sq = jnp.where(valid, err_sq, 0.0)
     if not with_jacobians:
         zj = jnp.zeros((Ni, res_dim, D), dtype)
-        return ImuEval(rw, zj, zj, err_sq, y_t, y_v)
+        return ImuEval(rw, zj, zj, err_sq, y_t, y_v, c9)
     j1 = jnp.where(valid[:, None, None], j1, 0.0)
     j2 = jnp.where(valid[:, None, None], j2, 0.0)
     j1w = jnp.einsum("nij,njk->nik", S, j1)
     j2w = jnp.einsum("nij,njk->nik", S, j2)
-    return ImuEval(rw, j1w, j2w, err_sq, y_t, y_v)
+    return ImuEval(rw, j1w, j2w, err_sq, y_t, y_v, c9)

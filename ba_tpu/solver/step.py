@@ -33,11 +33,12 @@ from .linear import GnStep, back_substitute, solve_reduced
 
 
 def _imu_eval(problem: Problem, config: BAConfig, use_imu: bool,
-              with_jacobians: bool):
+              with_jacobians: bool, c9=None):
     if not use_imu:
         return None
     from ..core.residuals import imu as imu_mod
-    return imu_mod.evaluate(problem, config, with_jacobians=with_jacobians)
+    return imu_mod.evaluate(problem, config, with_jacobians=with_jacobians,
+                            c9=c9)
 
 
 def apply_update(problem: Problem, config: BAConfig, delta_p, delta_l,
@@ -108,12 +109,64 @@ class IterResult(NamedTuple):
     delta_norm: jax.Array
     accepted: jax.Array     # bool
     trust_radius: jax.Array
+    solver_ok: jax.Array    # bool — reduced factorization/CG succeeded
+                            # (FactorizationError when False, cpp:756-764)
 
 
-def _cost(problem, config, use_imu, proj_w=None):
+def _cost(problem, config, use_imu, proj_w=None, imu_c9=None):
+    """Trial-cost evaluation.  `imu_c9` carries the covariance from the
+    last build so trials are covariance-scan-free (reference cpp:236-238)."""
     return evaluate_cost(problem, config,
-                         imu_eval=_imu_eval(problem, config, use_imu, False),
+                         imu_eval=_imu_eval(problem, config, use_imu, False,
+                                            c9=imu_c9),
                          proj_w=proj_w)
+
+
+class BuildOut(NamedTuple):
+    """Assembled-and-solved normal equations, solver-agnostic."""
+
+    step: "GnStep"
+    cost: jax.Array
+    proj_w: jax.Array
+    rhs_p: jax.Array
+    rhs_l: jax.Array
+    cauchy_alpha: jax.Array
+    imu_c9: Optional[jax.Array]
+
+
+def _commit_imu_cov(problem: Problem, config: BAConfig,
+                    imu_c9) -> Problem:
+    """Store the build's covariance in the pytree when
+    `calculate_inertial_covariance_once` is on."""
+    if imu_c9 is None or not config.calculate_inertial_covariance_once:
+        return problem
+    imu = dataclasses.replace(problem.imu, c9=imu_c9,
+                              c9_set=jnp.ones((), bool))
+    return dataclasses.replace(problem, imu=imu)
+
+
+def _build_and_solve(problem: Problem, config: BAConfig,
+                     use_imu: bool) -> BuildOut:
+    """Dense-Cholesky (default) or matrix-free PCG (`use_cg_solver`)
+    reduced solve — the reference's dense-LDLT vs SimplicialLDLT switch
+    (`use_sparse_solver`, BundleAdjuster.h:92)."""
+    imu_eval = _imu_eval(problem, config, use_imu, True)
+    imu_c9 = imu_eval.c9 if imu_eval is not None else None
+    if config.use_cg_solver:
+        from . import cg as cg_mod
+        from .assemble import dims
+        D, K, P, L, lm, N = dims(problem, config)
+        bs, marg_H = cg_mod.assemble_blocks(problem, config, imu_eval)
+        step = cg_mod.solve_reduced_cg(bs, marg_H, config, P, D, K)
+        alpha = cg_mod.cauchy_factor(bs, marg_H, P, D, K)
+        return BuildOut(step=step, cost=bs.cost, proj_w=bs.proj_w,
+                        rhs_p=bs.rhs_p, rhs_l=bs.rhs_l,
+                        cauchy_alpha=alpha, imu_c9=imu_c9)
+    asm = assemble(problem, config, imu_eval=imu_eval)
+    step = solve_reduced(asm)
+    return BuildOut(step=step, cost=asm.cost, proj_w=asm.proj_w,
+                    rhs_p=asm.rhs_p, rhs_l=asm.rhs_l,
+                    cauchy_alpha=_cauchy_factor(asm), imu_c9=imu_c9)
 
 
 def _cauchy_factor(asm: Assembly):
@@ -172,44 +225,39 @@ def gn_iteration(problem: Problem, config: BAConfig, use_imu: bool,
     """One damped Gauss-Newton outer iteration with rollback
     (reference SolveInternal non-dogleg branch, cpp:1084-1159)."""
     problem = apply_robust_reweighting(problem, config, use_imu)
-    asm = assemble(problem, config,
-                   imu_eval=_imu_eval(problem, config, use_imu, True))
-    step = solve_reduced(asm)
+    built = _build_and_solve(problem, config, use_imu)
+    problem = _commit_imu_cov(problem, config, built.imu_c9)
+    step = built.step
     candidate = apply_update(problem, config, step.delta_p, step.delta_l,
                              scale=gn_damping)
-    post = _cost(candidate, config, use_imu, asm.proj_w)
+    post = _cost(candidate, config, use_imu, built.proj_w, built.imu_c9)
     # acceptance is purely cost-based: if the factorization hiccuped the
     # pose delta is zeroed and the candidate is a landmark-only step, which
     # may still reduce cost (reference would raise FactorizationError and
     # stop; degrading gracefully is strictly better)
-    accept = (post <= asm.cost) | jnp.asarray(error_increase_allowed)
+    accept = (post <= built.cost) | jnp.asarray(error_increase_allowed)
     out = jax.tree_util.tree_map(
         lambda a, b: jnp.where(accept, a, b), candidate, problem)
     dn = gn_damping * jnp.sqrt(jnp.sum(step.delta_p**2)
                                + jnp.sum(step.delta_l**2))
-    return IterResult(problem=out, pre_cost=asm.cost, post_cost=post,
+    return IterResult(problem=out, pre_cost=built.cost, post_cost=post,
                       delta_norm=dn, accepted=accept,
-                      trust_radius=jnp.zeros_like(asm.cost))
+                      trust_radius=jnp.zeros_like(built.cost),
+                      solver_ok=step.ok)
 
 
-@partial(jax.jit, static_argnames=("config", "use_imu"))
-def dogleg_iteration(problem: Problem, config: BAConfig, use_imu: bool,
-                     trust_radius) -> IterResult:
-    """One dogleg outer iteration: bounded inner trust-region search
-    (reference SolveInternal dogleg branch, cpp:850-1083)."""
-    problem = apply_robust_reweighting(problem, config, use_imu)
-    asm = assemble(problem, config,
-                   imu_eval=_imu_eval(problem, config, use_imu, True))
-    gn = solve_reduced(asm)
-    d_gn = jnp.concatenate([gn.delta_p, gn.delta_l])
-    alpha = _cauchy_factor(asm)
-    d_sd = alpha * jnp.concatenate([asm.rhs_p, asm.rhs_l])
+def dogleg_search(problem: Problem, config: BAConfig, use_imu: bool,
+                  trust_radius, d_gn, d_sd, pre_cost, proj_w, imu_c9, Np):
+    """Bounded dogleg trust-region search (reference SolveInternal dogleg
+    branch, cpp:850-1083) given the GN and Cauchy steps — shared by the
+    single-device and distributed iterations.
+
+    Returns (radius, ok, d, post)."""
     norm_gn = jnp.linalg.norm(d_gn)
     norm_sd = jnp.linalg.norm(d_sd)
 
     # trust region auto-init to ||d_gn|| (kTrustRegionAuto, cpp:976-978)
     trust_radius = jnp.where(trust_radius <= 0, norm_gn, trust_radius)
-    Np = asm.rhs_p.shape[0]
 
     def propose(radius):
         def sd_case(_):
@@ -234,8 +282,8 @@ def dogleg_iteration(problem: Problem, config: BAConfig, use_imu: bool,
         radius, _, _, _, k = state
         d = propose(radius)
         cand = apply_update(problem, config, d[:Np], d[Np:])
-        post = _cost(cand, config, use_imu, asm.proj_w)
-        ok = post < asm.cost
+        post = _cost(cand, config, use_imu, proj_w, imu_c9)
+        ok = post < pre_cost
         new_radius = jnp.where(ok, radius * 2.0, radius * 0.5)
         return (new_radius, ok, d, post, k + 1)
 
@@ -244,18 +292,37 @@ def dogleg_iteration(problem: Problem, config: BAConfig, use_imu: bool,
         return (~ok) & (k < config.dogleg_max_inner_iterations)
 
     zeros_d = jnp.zeros_like(d_gn)
-    state0 = (trust_radius, jnp.asarray(False), zeros_d, asm.cost,
+    state0 = (trust_radius, jnp.asarray(False), zeros_d, pre_cost,
               jnp.asarray(0))
-    radius, ok, d, post, _ = jax.lax.while_loop(cond, body, state0)
+    return jax.lax.while_loop(cond, body, state0)[:4]
+
+
+@partial(jax.jit, static_argnames=("config", "use_imu"))
+def dogleg_iteration(problem: Problem, config: BAConfig, use_imu: bool,
+                     trust_radius) -> IterResult:
+    """One dogleg outer iteration: bounded inner trust-region search
+    (reference SolveInternal dogleg branch, cpp:850-1083)."""
+    problem = apply_robust_reweighting(problem, config, use_imu)
+    built = _build_and_solve(problem, config, use_imu)
+    problem = _commit_imu_cov(problem, config, built.imu_c9)
+    gn = built.step
+    pre_cost = built.cost
+    d_gn = jnp.concatenate([gn.delta_p, gn.delta_l])
+    d_sd = built.cauchy_alpha * jnp.concatenate([built.rhs_p, built.rhs_l])
+    Np = built.rhs_p.shape[0]
+
+    radius, ok, d, post = dogleg_search(
+        problem, config, use_imu, trust_radius, d_gn, d_sd, pre_cost,
+        built.proj_w, built.imu_c9, Np)
 
     candidate = apply_update(problem, config, d[:Np], d[Np:])
     out = jax.tree_util.tree_map(
         lambda a, b: jnp.where(ok, a, b), candidate, problem)
     dn = jnp.linalg.norm(d)
-    return IterResult(problem=out, pre_cost=asm.cost,
-                      post_cost=jnp.where(ok, post, asm.cost),
+    return IterResult(problem=out, pre_cost=pre_cost,
+                      post_cost=jnp.where(ok, post, pre_cost),
                       delta_norm=jnp.where(ok, dn, 0.0), accepted=ok,
-                      trust_radius=radius)
+                      trust_radius=radius, solver_ok=gn.ok)
 
 
 @partial(jax.jit, static_argnames=("config", "use_imu", "n_iters",
@@ -287,16 +354,33 @@ def solve_fixed(problem: Problem, config: BAConfig, use_imu: bool,
 
 @dataclass
 class Summary:
-    """SolutionSummary analog (reference BundleAdjuster.h:48-70)."""
+    """SolutionSummary analog (reference BundleAdjuster.h:48-70).
+
+    Per-family weighted squared-error totals (conditioning populations
+    separate) mirror the reference's epilogue (cpp:666-704); they are
+    filled by `solve` from `ba_tpu.solver.summary.error_breakdown`.
+    """
 
     iterations: int = 0
     initial_cost: float = 0.0
     final_cost: float = 0.0
     delta_norm: float = 0.0
     result: str = "Success"
+    # per-family breakdown at the solution
+    proj_error: float = 0.0
+    cond_proj_error: float = 0.0
+    unary_error: float = 0.0
+    binary_error: float = 0.0
+    inertial_error: float = 0.0
+    cond_inertial_error: float = 0.0
+    num_proj_residuals: int = 0
+    num_cond_proj_residuals: int = 0
+    num_imu_residuals: int = 0
+    num_cond_imu_residuals: int = 0
 
     @property
     def is_good(self) -> bool:
+        """reference SolutionSummary::IsResultGood (h:68-69)."""
         return self.result in ("Success", "ErrorChangeBelowThreshold",
                                "ParamChangeBelowThreshold")
 
@@ -336,6 +420,11 @@ def solve(problem: Problem, config: BAConfig, max_iter: int = 10,
         summary.iterations = it + 1
         summary.final_cost = post
         summary.delta_norm = float(res.delta_norm)
+        if not bool(res.solver_ok):
+            # the reference raises FactorizationError from CalculateGn and
+            # stops (cpp:756-764)
+            summary.result = "FactorizationError"
+            break
         if not bool(res.accepted):
             summary.result = "ErrorIncreased"
             break
@@ -345,5 +434,19 @@ def solve(problem: Problem, config: BAConfig, max_iter: int = 10,
         if float(res.delta_norm) < config.param_change_threshold:
             summary.result = "ParamChangeBelowThreshold"
             break
+    # per-family error epilogue (reference cpp:666-704)
+    from .summary import error_breakdown
+
+    eb = error_breakdown(problem, config, use_imu)
+    summary.proj_error = float(eb.proj_error)
+    summary.cond_proj_error = float(eb.cond_proj_error)
+    summary.unary_error = float(eb.unary_error)
+    summary.binary_error = float(eb.binary_error)
+    summary.inertial_error = float(eb.inertial_error)
+    summary.cond_inertial_error = float(eb.cond_inertial_error)
+    summary.num_proj_residuals = int(eb.num_proj)
+    summary.num_cond_proj_residuals = int(eb.num_cond_proj)
+    summary.num_imu_residuals = int(eb.num_imu)
+    summary.num_cond_imu_residuals = int(eb.num_cond_imu)
     problem = finalize_landmarks(problem, config)
     return problem, summary

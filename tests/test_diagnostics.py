@@ -1,0 +1,130 @@
+"""Diagnostics parity tests: per-family Summary errors, FactorizationError
+surfacing, landmark outlier ratio, and the conditioning-edge robust-norm
+split (reference SolutionSummary h:48-70, cpp:666-704, 756-764, 1360-1381,
+1806-1812).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ba_tpu.core import robust
+from ba_tpu.core.problem import BAConfig, prepare_landmarks
+from ba_tpu.solver import step as step_mod
+from ba_tpu.solver.summary import error_breakdown, landmark_outlier_ratio
+
+from tests.test_solver_reprojection import make_scene
+
+
+def test_summary_error_breakdown_sums_to_cost():
+    problem, cfg = make_scene(n_poses=6, n_lms=24, perturb=0.02, n_anchor=2)
+    solved, summary = step_mod.solve(problem, cfg, max_iter=10,
+                                     use_imu=False)
+    assert summary.is_good
+    # with 2 inactive anchor poses and landmarks referenced at pose 0,
+    # observations from active poses are conditioning edges
+    assert summary.num_cond_proj_residuals > 0
+    total = (summary.proj_error + summary.cond_proj_error
+             + summary.unary_error + summary.binary_error)
+    # breakdown is computed at the solution with base weights
+    assert total >= 0.0
+    assert summary.num_proj_residuals > 0
+
+
+def test_factorization_error_surfaced():
+    problem, cfg = make_scene(n_poses=6, n_lms=24, perturb=0.02)
+    # a NaN landmark poisons the Jacobians -> S -> Cholesky fails
+    # (a NaN *measurement* only reaches the rhs: J is independent of z)
+    x_w = np.asarray(problem.lms.x_w).copy()
+    x_w[0] = np.nan
+    problem = dataclasses.replace(
+        problem, lms=dataclasses.replace(problem.lms,
+                                         x_w=jnp.asarray(x_w)))
+    solved, summary = step_mod.solve(problem, cfg, max_iter=5,
+                                     use_imu=False)
+    assert summary.result == "FactorizationError"
+    assert not summary.is_good
+
+
+def test_landmark_outlier_ratio():
+    problem, cfg = make_scene(n_poses=8, n_lms=30, perturb=0.0)
+    problem = prepare_landmarks(problem, cfg)
+    # corrupt every observation of landmark 3
+    z = np.asarray(problem.proj.z).copy()
+    lm_ids = np.asarray(problem.proj.lm)
+    valid = np.asarray(problem.proj.valid)
+    hit = (lm_ids == 3) & valid
+    z[hit] += 500.0
+    problem = dataclasses.replace(
+        problem, proj=dataclasses.replace(problem.proj, z=jnp.asarray(z)))
+    ratio = np.asarray(landmark_outlier_ratio(problem, cfg))
+    assert ratio[3] > 0.9, ratio[3]
+    clean = np.delete(ratio[:30], 3)
+    assert np.median(clean) < 0.5
+
+
+def test_conditioning_edges_use_separate_sigma():
+    """The robust scale must be estimated per population (reference
+    cpp:1360-1381): conditioning edges get their own median."""
+    rng = np.random.default_rng(0)
+    n = 400
+    err = jnp.asarray(np.concatenate([
+        rng.chisquare(2, n) * 1.0,        # normal population
+        rng.chisquare(2, n) * 100.0]))    # conditioning: much larger errors
+    valid = jnp.ones(2 * n, bool)
+    cond = jnp.asarray(np.arange(2 * n) >= n)
+    w = np.asarray(robust.huber_weights(err, valid, cond))
+
+    def manual(e):
+        s = np.sqrt(np.sort(e)[(len(e) - 1) // 2])
+        c = robust.HUBER_C * s
+        ee = np.sqrt(e)
+        return np.where(ee > c, c / ee, 1.0)
+
+    np.testing.assert_allclose(w[:n], manual(np.asarray(err[:n])),
+                               rtol=1e-6)
+    np.testing.assert_allclose(w[n:], manual(np.asarray(err[n:])),
+                               rtol=1e-6)
+    # pooled-sigma weighting would crush the normal population; the split
+    # must not
+    assert np.median(w[:n]) > 0.9
+
+
+def test_fixed_lag_window_robust_conditioning_solve():
+    """Fixed-lag scene (inactive anchors -> conditioning projections) with
+    the robust norm ON — the combination the reference exercises at
+    cpp:1360-1381 — must still converge."""
+    problem, cfg = make_scene(n_poses=8, n_lms=40, perturb=0.03,
+                              n_anchor=3)
+    cfg = dataclasses.replace(cfg,
+                              use_robust_norm_for_proj_residuals=True)
+    assert bool(jnp.any(problem.proj.cond & problem.proj.valid))
+    solved, summary = step_mod.solve(problem, cfg, max_iter=20,
+                                     use_imu=False)
+    assert summary.final_cost < 1e-3, summary
+    assert summary.num_cond_proj_residuals > 0
+
+
+def test_imu_conditioning_edges_exempt_from_robust_reweighting():
+    """Conditioning IMU edges keep weight 1 under the persistent robust
+    rescaling (reference cpp:1514-1521)."""
+    from ba_tpu.io import simulate_vins as sv
+
+    cfg = BAConfig(pose_dim=9, lm_size=1, use_dogleg=False,
+                   use_robust_norm_for_inertial_residuals=True)
+    sim = sv.simulate(n_poses=8, n_lms=24, seed=0)
+    problem, _, _ = sv.build_problem(sim, cfg, perturb=0.05, seed=1)
+    # force some conditioning flags on the IMU table
+    cond = np.zeros(problem.imu.valid.shape[0], bool)
+    cond[:2] = True
+    problem = dataclasses.replace(
+        problem, imu=dataclasses.replace(problem.imu,
+                                         cond=jnp.asarray(cond)))
+    problem = prepare_landmarks(problem, cfg)
+    out = step_mod.apply_robust_reweighting(problem, cfg, True)
+    w = np.asarray(out.imu.weight)
+    np.testing.assert_allclose(w[:2], 1.0)
+    # at least one non-conditioning edge should have been downweighted
+    # (perturbed states make IMU errors spread)
+    assert (w[2:][np.asarray(problem.imu.valid)[2:]] <= 1.0).all()
