@@ -31,7 +31,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.problem import BAConfig, Problem
 from ..solver import assemble as asm
-from ..solver.step import IterResult, _cost, _imu_eval, apply_update
+from ..solver.step import (IterResult, _cost, _imu_eval, apply_update,
+                           apply_robust_reweighting)
 from ..solver.linear import solve_reduced
 
 AXIS = "shard"
@@ -43,18 +44,30 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(devs[:n], (AXIS,))
 
 
-def problem_shardings(problem: Problem, mesh: Mesh):
+def problem_shardings(problem: Problem, mesh: Mesh,
+                      landmark_sharded: bool = False):
     """NamedSharding pytree for `jax.device_put`: residual tables sharded on
-    axis 0, states replicated."""
+    axis 0, states replicated.  With `landmark_sharded` the landmark tables
+    are row-sharded too (use `partition.partition_by_landmark` first so each
+    device's projection rows reference only its own landmark chunk)."""
     repl = NamedSharding(mesh, P())
     row = NamedSharding(mesh, P(AXIS))
-    return dataclasses.replace(
+
+    def rows_except_scalars(table):
+        return jax.tree_util.tree_map(
+            lambda a: row if a.ndim else repl, table)
+
+    out = dataclasses.replace(
         jax.tree_util.tree_map(lambda _: repl, problem),
-        proj=jax.tree_util.tree_map(lambda _: row, problem.proj),
-        unary=jax.tree_util.tree_map(lambda _: row, problem.unary),
-        binary=jax.tree_util.tree_map(lambda _: row, problem.binary),
-        imu=jax.tree_util.tree_map(lambda _: row, problem.imu),
+        proj=rows_except_scalars(problem.proj),
+        unary=rows_except_scalars(problem.unary),
+        binary=rows_except_scalars(problem.binary),
+        imu=rows_except_scalars(problem.imu),
     )
+    if landmark_sharded:
+        out = dataclasses.replace(
+            out, lms=rows_except_scalars(problem.lms))
+    return out
 
 
 def sharded_assemble(problem: Problem, config: BAConfig, use_imu: bool,
@@ -65,16 +78,21 @@ def sharded_assemble(problem: Problem, config: BAConfig, use_imu: bool,
     colm = cmask.astype(problem.poses.t.dtype)
     colm6 = asm.col_mask(problem, config, 6).astype(problem.poses.t.dtype)
 
+    def _rows(table):
+        return jax.tree_util.tree_map(
+            lambda a: P(AXIS) if a.ndim else P(), table)
+
     in_specs = dataclasses.replace(
         jax.tree_util.tree_map(lambda _: P(), problem),
-        proj=jax.tree_util.tree_map(lambda _: P(AXIS), problem.proj),
-        unary=jax.tree_util.tree_map(lambda _: P(AXIS), problem.unary),
-        binary=jax.tree_util.tree_map(lambda _: P(AXIS), problem.binary),
-        imu=jax.tree_util.tree_map(lambda _: P(AXIS), problem.imu),
+        proj=_rows(problem.proj),
+        unary=_rows(problem.unary),
+        binary=_rows(problem.binary),
+        imu=_rows(problem.imu),
     )
 
     def local(problem_shard, colm_, colm6_):
-        comp, w = asm.proj_contribution(problem_shard, config, colm6_)
+        comp, w = asm.proj_contribution(problem_shard, config, colm6_,
+                                        axis_name=AXIS)
         comp = asm._add(
             comp, asm.prior_contribution(problem_shard, config, colm6_))
         if use_imu:
@@ -111,6 +129,9 @@ def sharded_gn_iteration(problem: Problem, config: BAConfig, use_imu: bool,
                          mesh: Mesh, gn_damping: float = 1.0) -> IterResult:
     """One distributed GN iteration: sharded evaluation + psum-reduced
     normal equations, replicated reduced solve, replicated update."""
+    # persistent unary/IMU robust rescaling (§7.4) — runs at jit level over
+    # the global (sharded) tables; XLA inserts the gathers the median needs
+    problem = apply_robust_reweighting(problem, config, use_imu)
     a = sharded_assemble(problem, config, use_imu, mesh)
     step = solve_reduced(a)
     candidate = apply_update(problem, config, step.delta_p, step.delta_l,
@@ -123,4 +144,248 @@ def sharded_gn_iteration(problem: Problem, config: BAConfig, use_imu: bool,
                                + jnp.sum(step.delta_l**2))
     return IterResult(problem=out, pre_cost=a.cost, post_cost=post,
                       delta_norm=dn, accepted=accept,
-                      trust_radius=jnp.zeros_like(a.cost))
+                      trust_radius=jnp.zeros_like(a.cost),
+                      solver_ok=step.ok)
+
+
+# ---------------------------------------------------------------------------
+# Landmark-sharded distributed Schur (SURVEY §5.8, second stage): each device
+# owns a contiguous landmark chunk + exactly its residuals (see
+# parallel.partition).  V, W columns, rhs_l, and back-substitution are
+# shard-local; only pose-space partial sums and the reduced system S cross
+# the ICI (one psum).  The reduced solve runs replicated on every device
+# inside the shard_map (pose count is small — the same asymmetry the Schur
+# trick exploits).
+# ---------------------------------------------------------------------------
+
+import jax.numpy as _jnp
+
+from ..solver.assemble import Assembly
+from ..solver.linear import solve_reduced as _solve_reduced
+
+
+def _lm_local_schur(problem_shard, config, colm6, P_n, D, K, Lk, lm, dtype):
+    """Shard-local projection-family pieces: compact-width U/rhs partial
+    sums + the *local* landmark system (V, W columns, rhs_l)."""
+    k = jax.lax.axis_index(AXIS)
+    pr = problem_shard.proj
+    pr_local = dataclasses.replace(pr, lm=pr.lm - k * Lk)
+    p_local = dataclasses.replace(problem_shard, proj=pr_local)
+    pb = asm.proj_blocks(p_local, config, colm6, axis_name=AXIS)
+
+    N6 = P_n * 6 + K
+    U6, rhs6 = asm._pair_system(
+        N6, P_n, 6, dtype, pb.j_m, pb.j_r, pb.pose, pb.ref,
+        pr.pair, pr.pair_swap, problem_shard.pidx.pair_a,
+        problem_shard.pidx.pair_b, pb.r, j_cal=pb.j_c)
+
+    lm_loc = pr_local.lm.astype(_jnp.int32)
+    V_loc = jax.ops.segment_sum(
+        _jnp.einsum("nik,nil->nkl", pb.j_l, pb.j_l), lm_loc,
+        num_segments=Lk)
+    rhs_l_loc = jax.ops.segment_sum(
+        _jnp.einsum("nil,ni->nl", pb.j_l, pb.r), lm_loc, num_segments=Lk)
+
+    # local W columns by dense (pose, local-landmark) block segment_sum —
+    # collision-free without a localized W-block table
+    ids = _jnp.concatenate([pb.pose, pb.ref]) * Lk \
+        + _jnp.concatenate([lm_loc, lm_loc])
+    blocks = _jnp.concatenate([
+        _jnp.einsum("nik,nil->nkl", pb.j_m, pb.j_l),
+        _jnp.einsum("nik,nil->nkl", pb.j_r, pb.j_l)], axis=0)
+    Wblk = jax.ops.segment_sum(blocks, ids, num_segments=P_n * Lk)
+    W6 = Wblk.reshape(P_n, Lk, 6, lm).transpose(0, 2, 1, 3) \
+        .reshape(P_n * 6, Lk * lm)
+    if K:
+        Wc = jax.ops.segment_sum(
+            _jnp.einsum("nik,nil->nkl", pb.j_c, pb.j_l), lm_loc,
+            num_segments=Lk)
+        W6 = _jnp.concatenate(
+            [W6, _jnp.transpose(Wc, (1, 0, 2)).reshape(K, Lk * lm)], axis=0)
+    return pb, U6, rhs6, V_loc, rhs_l_loc, W6
+
+
+def _sharded_build_lm(problem: Problem, config: BAConfig, use_imu: bool,
+                      mesh: Mesh):
+    """Landmark-sharded build + replicated reduced solve.
+
+    Per-device memory for the landmark system is 1/n of the replicated
+    design; the only cross-device traffic is the psum of the pose-space
+    partial sums (U, rhs, W V^-1 W^T and W V^-1 rhs_l, all (N,)- or
+    (N,N)-sized) and the all-gather of the sharded landmark delta.
+
+    Returns (delta_p, delta_l, rhs_p, rhs_l, cost, cauchy_alpha, ok, w).
+    """
+    D, K, Pn, L, lm, N = asm.dims(problem, config)
+    n_dev = mesh.devices.size
+    Lk = L // n_dev
+    dtype = problem.poses.t.dtype
+    cmask = asm.col_mask(problem, config)
+    colm = cmask.astype(dtype)
+    colm6 = asm.col_mask(problem, config, 6).astype(dtype)
+
+    row = P(AXIS)
+    repl = P()
+
+    def rows_except_scalars(table):
+        return jax.tree_util.tree_map(
+            lambda a: row if a.ndim else repl, table)
+
+    in_specs = dataclasses.replace(
+        jax.tree_util.tree_map(lambda _: repl, problem),
+        proj=rows_except_scalars(problem.proj),
+        unary=rows_except_scalars(problem.unary),
+        binary=rows_except_scalars(problem.binary),
+        imu=rows_except_scalars(problem.imu),
+        lms=rows_except_scalars(problem.lms),
+    )
+
+    def local(problem_shard, colm_, colm6_):
+        pb, U6, rhs6, V_loc, rhs_l_loc, W6 = _lm_local_schur(
+            problem_shard, config, colm6_, Pn, D, K, Lk, lm, dtype)
+        prior = asm.prior_contribution(problem_shard, config, colm6_)
+        U6 = U6 + prior.U
+        rhs6 = rhs6 + prior.rhs_p
+        cost_local = pb.cost + prior.cost
+
+        # expand compact width-6 pose system to full width D
+        comp = asm.Contribution(U=U6, rhs_p=rhs6, W=W6,
+                                V=V_loc, rhs_l=rhs_l_loc.reshape(-1),
+                                cost=cost_local)
+        full = asm.expand_contribution(comp, Pn, D, K)
+
+        if use_imu:
+            ie = _imu_eval(problem_shard, config, True, True)
+            full = asm._add(
+                full, asm.imu_contribution(problem_shard, config, colm_, ie))
+
+        # local Schur pieces
+        from ..utils.linalg import block_diag_inv
+        vinv_loc = block_diag_inv(full.V)
+        W3 = full.W.reshape(N, Lk, lm)
+        WVi = _jnp.einsum("nlk,lkj->nlj", W3, vinv_loc).reshape(N, Lk * lm)
+        S_loc = full.U - WVi @ full.W.T
+        rhs_sc_loc = full.rhs_p - WVi @ full.rhs_l
+
+        S = jax.lax.psum(S_loc, AXIS)
+        rhs_sc = jax.lax.psum(rhs_sc_loc, AXIS)
+        rhs_p = jax.lax.psum(full.rhs_p, AXIS)
+        cost = jax.lax.psum(full.cost, AXIS)
+
+        # marginalization prior: replicated factor, added once after psum
+        marg = asm.marg_contribution(problem_shard, config, colm_)
+        S = S + marg.U
+        rhs_sc = rhs_sc + marg.rhs_p
+        rhs_p = rhs_p + marg.rhs_p
+        cost = cost + marg.cost
+
+        # reconstruct the dim mask from the passed colm (closing over
+        # jit-level arrays inside shard_map mixes sharding contexts)
+        cmask_ = colm_ > 0
+        S = S + _jnp.diag(_jnp.where(cmask_, 0.0, 1e6).astype(dtype))
+        rhs_sc = _jnp.where(cmask_, rhs_sc, 0.0)
+
+        # replicated reduced solve + shard-local back-substitution
+        a_nt = Assembly(S=S, rhs_sc=rhs_sc, U=full.U, rhs_p=rhs_p,
+                        W=full.W, V=full.V, vinv=vinv_loc,
+                        rhs_l=full.rhs_l, col_mask=cmask_, cost=cost,
+                        proj_w=pb.w)
+        step = _solve_reduced(a_nt)
+
+        # dogleg Cauchy factor (cpp:857-925): rhs^T H rhs assembled from
+        # shard-local pieces (U partials, local W columns, local V blocks),
+        # psum'd, plus the replicated marg curvature counted once
+        rl = full.rhs_l.reshape(Lk, lm)
+        num = _jnp.sum(rhs_p**2) + jax.lax.psum(_jnp.sum(full.rhs_l**2),
+                                                AXIS)
+        den_loc = (rhs_p @ (full.U @ rhs_p)
+                   + 2.0 * rhs_p @ (full.W @ full.rhs_l)
+                   + _jnp.einsum("li,lij,lj->", rl, full.V, rl))
+        den = jax.lax.psum(den_loc, AXIS) + rhs_p @ (marg.U @ rhs_p)
+        alpha = num / _jnp.maximum(den, 1e-30)
+        return (step.delta_p, step.delta_l, rhs_p, full.rhs_l, cost,
+                alpha, step.ok, pb.w)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(in_specs, repl, repl),
+        out_specs=(repl, P(AXIS), repl, P(AXIS), repl, repl, repl,
+                   P(AXIS)),
+        check_vma=False,
+    )(problem, colm, colm6)
+
+
+@partial(jax.jit, static_argnames=("config", "use_imu", "mesh",
+                                   "gn_damping"))
+def sharded_gn_iteration_lm(problem: Problem, config: BAConfig,
+                            use_imu: bool, mesh: Mesh,
+                            gn_damping: float = 1.0) -> IterResult:
+    """Distributed GN iteration with landmark-sharded Schur complement."""
+    problem = apply_robust_reweighting(problem, config, use_imu)
+    delta_p, delta_l, _, _, cost, _, ok, w = _sharded_build_lm(
+        problem, config, use_imu, mesh)
+
+    candidate = apply_update(problem, config, delta_p, delta_l,
+                             scale=gn_damping)
+    post = _cost(candidate, config, use_imu, w)
+    accept = (post <= cost) & ok
+    out = jax.tree_util.tree_map(
+        lambda x, y: jnp.where(accept, x, y), candidate, problem)
+    dn = gn_damping * jnp.sqrt(jnp.sum(delta_p**2) + jnp.sum(delta_l**2))
+    return IterResult(problem=out, pre_cost=cost, post_cost=post,
+                      delta_norm=dn, accepted=accept,
+                      trust_radius=jnp.zeros_like(cost), solver_ok=ok)
+
+
+@partial(jax.jit, static_argnames=("config", "use_imu", "mesh"))
+def sharded_dogleg_iteration_lm(problem: Problem, config: BAConfig,
+                                use_imu: bool, mesh: Mesh,
+                                trust_radius) -> IterResult:
+    """Distributed dogleg iteration: landmark-sharded build, then the same
+    bounded trust-region search as the single-device path (trial costs
+    evaluate over the sharded tables under jit's SPMD partitioner)."""
+    from ..solver.step import dogleg_search
+
+    problem = apply_robust_reweighting(problem, config, use_imu)
+    delta_p, delta_l, rhs_p, rhs_l, cost, alpha, ok, w = _sharded_build_lm(
+        problem, config, use_imu, mesh)
+
+    d_gn = jnp.concatenate([delta_p, delta_l])
+    d_sd = alpha * jnp.concatenate([rhs_p, rhs_l])
+    Np = rhs_p.shape[0]
+    radius, accept, d, post = dogleg_search(
+        problem, config, use_imu, trust_radius, d_gn, d_sd, cost, w, None,
+        Np)
+    candidate = apply_update(problem, config, d[:Np], d[Np:])
+    out = jax.tree_util.tree_map(
+        lambda x, y: jnp.where(accept, x, y), candidate, problem)
+    dn = jnp.linalg.norm(d)
+    return IterResult(problem=out, pre_cost=cost,
+                      post_cost=jnp.where(accept, post, cost),
+                      delta_norm=jnp.where(accept, dn, 0.0),
+                      accepted=accept, trust_radius=radius, solver_ok=ok)
+
+
+@partial(jax.jit, static_argnames=("config", "use_imu", "mesh", "n_iters",
+                                   "gn_damping"))
+def sharded_solve_fixed(problem: Problem, config: BAConfig, use_imu: bool,
+                        mesh: Mesh, n_iters: int, gn_damping: float = 1.0):
+    """Fully-jitted distributed fixed-iteration solve (`lax.scan` over
+    landmark-sharded GN/dogleg iterations) — the sharded twin of
+    `solver.step.solve_fixed`."""
+    trust0 = jnp.asarray(config.trust_region_size, problem.poses.t.dtype)
+
+    def body(carry, _):
+        p, trust = carry
+        if config.use_dogleg:
+            res = sharded_dogleg_iteration_lm(p, config, use_imu, mesh,
+                                              trust)
+            trust = res.trust_radius
+        else:
+            res = sharded_gn_iteration_lm(p, config, use_imu, mesh,
+                                          gn_damping)
+        return (res.problem, trust), (res.post_cost, res.delta_norm)
+
+    (p, _), (costs, dns) = jax.lax.scan(body, (problem, trust0), None,
+                                        length=n_iters)
+    return p, costs, dns

@@ -42,6 +42,8 @@ def _pad_problem(problem, mult):
 
     def pad_table(table):
         def pad(a):
+            if a.ndim == 0:     # scalar state (e.g. imu.c9_set)
+                return a
             n = a.shape[0]
             m = (-n) % mult
             if m == 0:
@@ -76,3 +78,143 @@ def test_sharded_gn_converges_like_single():
         np.testing.assert_allclose(float(r1.post_cost), float(r2.post_cost),
                                    rtol=1e-6, atol=1e-9)
     assert float(r2.post_cost) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Landmark-sharded distributed Schur (partition + sharded_gn_iteration_lm)
+# ---------------------------------------------------------------------------
+
+
+def _pad_pose_tables(problem, mult):
+    """Pad only the pose-space residual tables (unary/binary/imu); the
+    projection/landmark tables are laid out by partition_by_landmark."""
+
+    def pad_table(table):
+        def pad(a):
+            if a.ndim == 0:
+                return a
+            n = a.shape[0]
+            m = (-n) % mult
+            if m == 0:
+                return a
+            fill = jnp.zeros((m,) + a.shape[1:], a.dtype)
+            return jnp.concatenate([a, fill], 0)
+
+        return jax.tree_util.tree_map(pad, table)
+
+    return dataclasses.replace(
+        problem,
+        unary=pad_table(problem.unary),
+        binary=pad_table(problem.binary),
+        imu=pad_table(problem.imu),
+    )
+
+
+def test_landmark_sharded_gn_matches_single():
+    from ba_tpu.parallel.partition import partition_by_landmark
+
+    problem, cfg = make_scene(n_poses=8, n_lms=40, perturb=0.02)
+    problem = partition_by_landmark(problem, cfg, 8)
+    problem = _pad_pose_tables(problem, 8)
+    problem = prepare_landmarks(problem, cfg)
+    mesh = shard.make_mesh(8)
+
+    # per-device landmark chunk is 1/8 of the table
+    L = problem.lms.x.shape[0]
+    assert L % 8 == 0
+
+    p_single = problem
+    p_shard = jax.device_put(
+        problem, shard.problem_shardings(problem, mesh,
+                                         landmark_sharded=True))
+    for _ in range(5):
+        r1 = step_mod.gn_iteration(p_single, cfg, False, 1.0, False)
+        r2 = shard.sharded_gn_iteration_lm(p_shard, cfg, False, mesh)
+        np.testing.assert_allclose(float(r1.pre_cost), float(r2.pre_cost),
+                                   rtol=1e-6, atol=1e-11)
+        np.testing.assert_allclose(float(r1.post_cost),
+                                   float(r2.post_cost), rtol=1e-6,
+                                   atol=1e-9)
+        p_single, p_shard = r1.problem, r2.problem
+    assert float(r2.post_cost) < 1e-4
+
+
+def test_landmark_sharded_robust_matches_single():
+    """Global-median robust weighting must be shard-count invariant in the
+    landmark-sharded layout too."""
+    from ba_tpu.parallel.partition import partition_by_landmark
+
+    problem, cfg = make_scene(n_poses=8, n_lms=40, perturb=0.02, seed=9)
+    cfg = dataclasses.replace(cfg,
+                              use_robust_norm_for_proj_residuals=True)
+    problem = partition_by_landmark(problem, cfg, 8)
+    problem = _pad_pose_tables(problem, 8)
+    problem = prepare_landmarks(problem, cfg)
+    mesh = shard.make_mesh(8)
+    p_shard = jax.device_put(
+        problem, shard.problem_shardings(problem, mesh,
+                                         landmark_sharded=True))
+    r1 = step_mod.gn_iteration(problem, cfg, False, 1.0, False)
+    r2 = shard.sharded_gn_iteration_lm(p_shard, cfg, False, mesh)
+    np.testing.assert_allclose(float(r1.pre_cost), float(r2.pre_cost),
+                               rtol=1e-8)
+    np.testing.assert_allclose(float(r1.post_cost), float(r2.post_cost),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_partition_preserves_problem_semantics():
+    """Partitioning is a pure relayout: costs at the same state match."""
+    from ba_tpu.parallel.partition import partition_by_landmark
+    from ba_tpu.solver.assemble import assemble, evaluate_cost
+
+    problem, cfg = make_scene(n_poses=6, n_lms=30, perturb=0.02, seed=4)
+    part = partition_by_landmark(problem, cfg, 4)
+    p1 = prepare_landmarks(problem, cfg)
+    p2 = prepare_landmarks(part, cfg)
+    c1 = float(evaluate_cost(p1, cfg))
+    c2 = float(evaluate_cost(p2, cfg))
+    np.testing.assert_allclose(c1, c2, rtol=1e-10)
+    a1 = assemble(p1, cfg)
+    a2 = assemble(p2, cfg)
+    np.testing.assert_allclose(np.asarray(a1.S), np.asarray(a2.S),
+                               atol=1e-8)
+
+
+def test_landmark_sharded_dogleg_matches_single():
+    from ba_tpu.parallel.partition import partition_by_landmark
+
+    problem, cfg = make_scene(n_poses=8, n_lms=40, perturb=0.03, seed=6)
+    cfg = dataclasses.replace(cfg, use_dogleg=True)
+    problem = partition_by_landmark(problem, cfg, 8)
+    problem = _pad_pose_tables(problem, 8)
+    problem = prepare_landmarks(problem, cfg)
+    mesh = shard.make_mesh(8)
+    p_shard = jax.device_put(
+        problem, shard.problem_shardings(problem, mesh,
+                                         landmark_sharded=True))
+    trust1 = trust2 = jnp.asarray(-1.0, problem.poses.t.dtype)
+    for _ in range(4):
+        r1 = step_mod.dogleg_iteration(problem, cfg, False, trust1)
+        r2 = shard.sharded_dogleg_iteration_lm(p_shard, cfg, False, mesh,
+                                               trust2)
+        np.testing.assert_allclose(float(r1.post_cost),
+                                   float(r2.post_cost), rtol=1e-6,
+                                   atol=1e-9)
+        problem, p_shard = r1.problem, r2.problem
+        trust1, trust2 = r1.trust_radius, r2.trust_radius
+    assert float(r2.post_cost) < 1e-3
+
+
+def test_sharded_solve_fixed_converges():
+    from ba_tpu.parallel.partition import partition_by_landmark
+
+    problem, cfg = make_scene(n_poses=8, n_lms=40, perturb=0.02, seed=7)
+    problem = partition_by_landmark(problem, cfg, 8)
+    problem = _pad_pose_tables(problem, 8)
+    problem = prepare_landmarks(problem, cfg)
+    mesh = shard.make_mesh(8)
+    p_shard = jax.device_put(
+        problem, shard.problem_shardings(problem, mesh,
+                                         landmark_sharded=True))
+    out, costs, _ = shard.sharded_solve_fixed(p_shard, cfg, False, mesh, 8)
+    assert float(costs[-1]) < 1e-4, costs
