@@ -24,16 +24,24 @@ def save(path: str, pytree, extra: dict | None = None) -> None:
 
 
 def load(path: str, like):
-    """Restore into the structure of `like` (shapes/dtypes must match)."""
+    """Restore into the structure of `like` (structure/shapes must match)."""
     data = np.load(path)
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     n = len(leaves_like)
+    n_saved = sum(1 for k in data.files if k.startswith("leaf_"))
+    saved_repr = json.loads(
+        bytes(data["__treedef__"]).decode()).get("repr", "?")
+    if n_saved != n:
+        raise ValueError(
+            f"checkpoint structure mismatch: {n_saved} saved leaves vs "
+            f"{n} in the target structure.\n  saved treedef:  "
+            f"{saved_repr}\n  target treedef: {treedef}")
     leaves = [data[f"leaf_{i}"] for i in range(n)]
-    for a, b in zip(leaves, leaves_like):
+    for i, (a, b) in enumerate(zip(leaves, leaves_like)):
         if a.shape != np.asarray(b).shape:
             raise ValueError(
-                f"checkpoint shape mismatch: {a.shape} vs "
-                f"{np.asarray(b).shape}")
+                f"checkpoint shape mismatch at leaf {i}: {a.shape} vs "
+                f"{np.asarray(b).shape} (saved treedef: {saved_repr})")
     import jax.numpy as jnp
 
     return jax.tree_util.tree_unflatten(

@@ -24,8 +24,8 @@ N_POSES = 128
 N_LMS = 512
 N_ITERS = 10
 
-# CPU f64 measurement of the same workload (see BASELINE.md; re-measure with
-# `python bench.py --cpu`).
+# CPU f32 measurement of the same workload on the 4-core XLA:CPU host (see
+# BASELINE.md; re-measure with `python bench.py --cpu`).
 CPU_BASELINE_KF_S = 300.0
 
 
