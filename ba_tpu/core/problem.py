@@ -69,6 +69,14 @@ class BAConfig:
     cg_max_iterations: int = 100
     cg_tolerance: float = 1e-6
 
+    # block half-bandwidth of the pose Hessian U along the trajectory
+    # (max |pose_i - pose_j| over all two-pose residuals, + 1).  When > 0
+    # (and calib/marg are off) the assembly uses a banded block grid +
+    # scatter-free densification instead of per-family dense scatters —
+    # set it with `ba_tpu.solver.assemble.band_width_of(problem)`.  0
+    # keeps the general path.
+    band_width: int = 0
+
     # robust norm (projection default True — reference BundleAdjuster.h:103)
     use_robust_norm_for_proj_residuals: bool = True
     use_robust_norm_for_unary_residuals: bool = False

@@ -160,7 +160,8 @@ def simulate(n_poses=200, n_lms=500, imu_per_span=10, speed=1.0,
 
 
 def build_problem(sim: SimData, config, n_window=None, n_anchor=2,
-                  perturb=0.0, seed=0, pad_multiple=1):
+                  perturb=0.0, seed=0, pad_multiple=1,
+                  with_marg_prior=True):
     """Build a BA problem from a (sub)sequence.
 
     `n_window` selects the first n poses (fixed-lag style); `perturb`
@@ -218,7 +219,8 @@ def build_problem(sim: SimData, config, n_window=None, n_anchor=2,
             w, a, ts = sim.imu_spans[i]
             b.add_imu_residual(pose_ids[i], pose_ids[i + 1], w, a, ts)
 
-    return b.build(pad_multiple=pad_multiple), pose_ids, lm_ids
+    return (b.build(pad_multiple=pad_multiple,
+                    with_marg_prior=with_marg_prior), pose_ids, lm_ids)
 
 
 def ate(q_est, t_est, q_gt, t_gt):

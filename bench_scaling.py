@@ -15,18 +15,24 @@ import time
 import jax
 
 
-def run_one(n_poses, n_lms, use_cg, n_iters=10):
+def run_one(n_poses, n_lms, solver, n_iters=10):
+    import dataclasses as dc
+
     import numpy as np
 
     from ba_tpu.core.problem import BAConfig, prepare_landmarks
     from ba_tpu.io import simulate_vins as sv
+    from ba_tpu.solver.assemble import band_width_of
     from ba_tpu.solver.step import solve_fixed
 
     cfg = BAConfig(pose_dim=9, lm_size=1, use_dogleg=False,
-                   use_cg_solver=use_cg, cg_max_iterations=100,
+                   use_cg_solver=solver == "cg", cg_max_iterations=100,
                    cg_tolerance=1e-5)
     sim = sv.simulate(n_poses=n_poses, n_lms=n_lms, seed=0)
-    problem, _, _ = sv.build_problem(sim, cfg, perturb=0.01, seed=1)
+    problem, _, _ = sv.build_problem(sim, cfg, perturb=0.01, seed=1,
+                                     with_marg_prior=False)
+    if solver == "band":
+        cfg = dc.replace(cfg, band_width=band_width_of(problem))
     if not jax.config.jax_enable_x64:
         problem = jax.tree_util.tree_map(
             lambda a: a.astype(np.float32)
@@ -61,15 +67,14 @@ def main():
     rows = []
     for p in sizes:
         lms = p * 4
-        for use_cg in (False, True):
+        for solver in ("dense", "band", "cg"):
             try:
-                kf_s, ms, cost = run_one(p, lms, use_cg, args.iters)
+                kf_s, ms, cost = run_one(p, lms, solver, args.iters)
             except Exception as e:  # noqa: BLE001 — record OOM/compile fails
-                rows.append(dict(P=p, L=lms, solver="cg" if use_cg
-                                 else "dense", error=str(e)[:120]))
+                rows.append(dict(P=p, L=lms, solver=solver,
+                                 error=str(e)[:120]))
                 continue
-            rows.append(dict(P=p, L=lms,
-                             solver="cg" if use_cg else "dense",
+            rows.append(dict(P=p, L=lms, solver=solver,
                              kf_per_s=round(kf_s, 1),
                              ms_per_iter=round(ms, 2),
                              final_cost=cost))
