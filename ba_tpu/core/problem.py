@@ -76,6 +76,13 @@ class BAConfig:
     # set it with `ba_tpu.solver.assemble.band_width_of(problem)`.  0
     # keeps the general path.
     band_width: int = 0
+    # banded direct reduced solve (solver/banded.py): the Schur complement
+    # is assembled ON the band grid (the landmark co-observation span is
+    # bounded by visibility) and factorized by a chunked block-tridiagonal
+    # Cholesky — O(P) time/memory in the window length instead of the
+    # dense O(P^3)/O(P^2).  Requires band_width > 0, no calibration block,
+    # no marginalization prior (falls back to the dense path otherwise).
+    use_banded_solver: bool = False
 
     # robust norm (projection default True — reference BundleAdjuster.h:103)
     use_robust_norm_for_proj_residuals: bool = True
@@ -313,6 +320,14 @@ class ProblemIndex:
     bpair_b: jax.Array
     ipair_a: jax.Array    # (Nip,) int32 — unique IMU pose pairs
     ipair_b: jax.Array
+    # per-landmark W-block pairs (rows i, j of wb_pose/wb_lm with the same
+    # landmark, pose[i] <= pose[j], i == j included): the sparsity of the
+    # Schur correction W V^-1 W^T — each pair contributes one 6x6 block at
+    # pose-pair (wb_pose[i], wb_pose[j]), which the banded solver
+    # segment-sums straight onto the band grid (solver/banded.py)
+    sp_i: jax.Array       # (Nsp,) int32
+    sp_j: jax.Array       # (Nsp,) int32
+    sp_valid: jax.Array   # (Nsp,) bool — False on padding rows
 
 
 def _pair_table_np(i_idx, j_idx, valid, n_states, pad_multiple=1):
@@ -367,7 +382,40 @@ def _wblock_table_np(pose_m, pose_r, lm, valid, n_lms, pad_multiple=1):
     wl = np.zeros(nw, np.int32)
     wp[: len(uniq)] = uniq // m
     wl[: len(uniq)] = uniq % m
-    return wb_m, wb_r, wp, wl
+    return wb_m, wb_r, wp, wl, len(uniq)
+
+
+def _schur_pair_table_np(wp, wl, n_uniq, pad_multiple=1):
+    """Per-landmark pairs of W-block rows (i, j), pose[i] <= pose[j],
+    including i == j — the block sparsity of W V^-1 W^T.
+
+    Count is sum_l n_l (n_l + 1) / 2 over observing-pose counts n_l, i.e.
+    linear in the residual count times the mean track length."""
+    wp = np.asarray(wp[:n_uniq], np.int64)
+    wl = np.asarray(wl[:n_uniq], np.int64)
+    if n_uniq == 0:
+        npad = _round_up(1, pad_multiple)
+        z = np.zeros(npad, np.int32)
+        return z, z.copy(), np.zeros(npad, bool)
+    order = np.lexsort((wp, wl))          # by landmark, then pose
+    lm_s = wl[order]
+    new_grp = np.r_[True, lm_s[1:] != lm_s[:-1]]
+    starts = np.flatnonzero(new_grp)
+    grp = np.cumsum(new_grp) - 1
+    local = np.arange(n_uniq) - starts[grp]
+    rep = local + 1                        # element k pairs with local+1 rows
+    total = int(rep.sum())
+    end = np.cumsum(rep)
+    within = np.arange(total) - np.repeat(end - rep, rep)
+    sp_j_sorted = np.repeat(np.arange(n_uniq), rep)
+    sp_i_sorted = np.repeat(np.arange(n_uniq) - local, rep) + within
+    sp_i = order[sp_i_sorted].astype(np.int32)
+    sp_j = order[sp_j_sorted].astype(np.int32)
+    npad = _round_up(total, pad_multiple)
+    valid = np.zeros(npad, bool)
+    valid[:total] = True
+    return (_pad(sp_i, npad).astype(np.int32),
+            _pad(sp_j, npad).astype(np.int32), valid)
 
 
 def build_structure_index(proj_pose, proj_ref_pose, proj_lm, proj_valid,
@@ -381,8 +429,10 @@ def build_structure_index(proj_pose, proj_ref_pose, proj_lm, proj_valid,
     """
     pair, swap, pa, pb = _pair_table_np(proj_pose, proj_ref_pose,
                                         proj_valid, P, pad_multiple)
-    wb_m, wb_r, wp, wl = _wblock_table_np(proj_pose, proj_ref_pose, proj_lm,
-                                          proj_valid, L, pad_multiple)
+    wb_m, wb_r, wp, wl, n_wb = _wblock_table_np(proj_pose, proj_ref_pose,
+                                                proj_lm, proj_valid, L,
+                                                pad_multiple)
+    sp_i, sp_j, sp_valid = _schur_pair_table_np(wp, wl, n_wb, pad_multiple)
     bpair, bswap, bpa, bpb = _pair_table_np(b1, b2, b_valid, P, pad_multiple)
     ipair, iswap, ipa, ipb = _pair_table_np(i1, i2, i_valid, P, pad_multiple)
     per_row = dict(pair=pair, pair_swap=swap, wb_meas=wb_m, wb_ref=wb_r,
@@ -391,7 +441,9 @@ def build_structure_index(proj_pose, proj_ref_pose, proj_lm, proj_valid,
         pair_a=jnp.asarray(pa), pair_b=jnp.asarray(pb),
         wb_pose=jnp.asarray(wp), wb_lm=jnp.asarray(wl),
         bpair_a=jnp.asarray(bpa), bpair_b=jnp.asarray(bpb),
-        ipair_a=jnp.asarray(ipa), ipair_b=jnp.asarray(ipb))
+        ipair_a=jnp.asarray(ipa), ipair_b=jnp.asarray(ipb),
+        sp_i=jnp.asarray(sp_i), sp_j=jnp.asarray(sp_j),
+        sp_valid=jnp.asarray(sp_valid))
     return per_row, tables
 
 

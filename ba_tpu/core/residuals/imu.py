@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import lie
-from ...utils.linalg import spd_sqrt
+from ...utils.linalg import whiten_factor
 
 
 class ImuEval(NamedTuple):
@@ -245,8 +245,8 @@ def evaluate(problem, config, with_jacobians: bool = True,
             q1, t1, v1, b1, q2, t2, v2, b2, im.w, im.a, im.time)
         if c9 is None:
             c9 = _c9(problem, config, r_imu, q1, t1, v1, b1, q2, t2, im)
-        cov_inv = _cov_inv_from_c9(problem, config, c9, im, dtype)
-        return _whiten_pack(problem, config, r, None, None, cov_inv,
+        S = _whiten_from_c9(problem, config, c9, im, dtype)
+        return _whiten_pack(problem, config, r, None, None, S,
                             with_jacobians=False, y_t=yts, y_v=yvs, c9=c9)
 
     def one(q1, t1, v1, b1, q2, t2, v2, b2, w, a, times):
@@ -295,8 +295,8 @@ def evaluate(problem, config, with_jacobians: bool = True,
         j1 = J1s[:, :, :D]
         j2 = J2s[:, :, :D]
 
-    cov_inv = _cov_inv_from_c9(problem, config, C9, im, dtype)
-    return _whiten_pack(problem, config, r, j1, j2, cov_inv,
+    S = _whiten_from_c9(problem, config, C9, im, dtype)
+    return _whiten_pack(problem, config, r, j1, j2, S,
                         with_jacobians=True, y_t=t1, y_v=v1, c9=C9)
 
 
@@ -319,42 +319,49 @@ def _c9(problem, config, r_imu, q1, t1, v1, b1, q2, t2, im):
     return jax.vmap(cov_one)(q1, t1, v1, b1, q2, t2, im.w, im.a, im.time)
 
 
-def _cov_inv_from_c9(problem, config, C9, im, dtype):
+def _whiten_from_c9(problem, config, C9, im, dtype):
+    """Whitening factor S (S^T S = weight * cov_inv) from the integrated
+    covariance, TPU-native: S9 = chol(C9)^-1 by closed-form blocked 3x3
+    Cholesky + triangular inverse (utils.linalg.whiten_factor) — no
+    batched LAPACK `inv`/`eigh`, which XLA TPU serializes.  Any square
+    root whitens (the assembled system only sees quadratic forms); the
+    reference's symmetric `cov_inv.sqrt()` is a different but equivalent
+    choice.  The bias block is diagonal (`r_b * dt_total`, reference
+    parallel_algos.h:278-307), so its factor is elementwise."""
     C9 = jax.lax.stop_gradient(C9)
     Ni = C9.shape[0]
     eps9 = 1e-12 if dtype == jnp.float64 else 1e-8
     C9 = C9 + eps9 * jnp.eye(9, dtype=dtype)
-    cov_inv9 = jnp.linalg.inv(C9)
+    S9 = whiten_factor(C9, from_cov=True)
     if config.bias_in_state:
         dt_total = jnp.max(im.time, axis=-1) - im.time[:, 0]
         r_b = jnp.concatenate([
             jnp.full((3,), config.gyro_bias_sigma**2, dtype),
             jnp.full((3,), config.accel_bias_sigma**2, dtype)])
         cb = r_b[None, :] * jnp.maximum(dt_total, 1e-12)[:, None]
-        cov_inv = jnp.zeros((Ni, 15, 15), dtype)
-        cov_inv = cov_inv.at[:, :9, :9].set(cov_inv9)
-        cov_inv = cov_inv.at[:, 9:, 9:].set(jax.vmap(jnp.diag)(1.0 / cb))
+        S = jnp.zeros((Ni, 15, 15), dtype)
+        S = S.at[:, :9, :9].set(S9)
+        S = S.at[:, 9:, 9:].set(jax.vmap(jnp.diag)(1.0 / jnp.sqrt(cb)))
     else:
-        cov_inv = cov_inv9
+        S = S9
     # persistent robust weight state (reference rescales cov_inv in place,
-    # §7.4); conditioning edges exempt (cpp:1514-1521)
+    # §7.4: cov_inv *= w -> factor *= sqrt(w)); conditioning edges exempt
+    # (cpp:1514-1521)
     wgt = jnp.where(im.cond, 1.0, im.weight)
-    return cov_inv * wgt[:, None, None]
+    return S * jnp.sqrt(wgt)[:, None, None]
 
 
-def _whiten_pack(problem, config, r, j1, j2, cov_inv, with_jacobians,
+def _whiten_pack(problem, config, r, j1, j2, S, with_jacobians,
                  y_t, y_v, c9):
     im = problem.imu
     dtype = r.dtype
     D = config.pose_dim
     res_dim = r.shape[-1]
     Ni = r.shape[0]
-    S = spd_sqrt(cov_inv)
     valid = im.valid
     rw = jnp.einsum("nij,nj->ni", S, r)
     rw = jnp.where(valid[:, None], rw, 0.0)
-    err_sq = jnp.einsum("ni,nij,nj->n", r, cov_inv, r)
-    err_sq = jnp.where(valid, err_sq, 0.0)
+    err_sq = jnp.sum(rw * rw, axis=-1)  # == r^T (w * cov_inv) r
     if not with_jacobians:
         zj = jnp.zeros((Ni, res_dim, D), dtype)
         return ImuEval(rw, zj, zj, err_sq, y_t, y_v, c9)

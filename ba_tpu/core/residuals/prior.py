@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import lie
-from ...utils.linalg import spd_sqrt
+from ...utils.linalg import whiten_factor
 
 
 class PriorEval(NamedTuple):
@@ -28,7 +28,9 @@ class PriorEval(NamedTuple):
 
 
 def _whiten(r, J1, J2, cov_inv, valid):
-    S = spd_sqrt(cov_inv)
+    # any S with S^T S = cov_inv whitens (the solver only sees quadratic
+    # forms); the triangular chol factor avoids batched eigh on TPU
+    S = whiten_factor(cov_inv)
     rw = jnp.einsum("nij,nj->ni", S, r)
     j1w = jnp.einsum("nij,njk->nik", S, J1)
     j2w = jnp.einsum("nij,njk->nik", S, J2) if J2 is not None else \

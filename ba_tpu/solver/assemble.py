@@ -458,9 +458,12 @@ def marg_cost(problem: Problem, config: BAConfig):
 
 
 def band_width_of(problem: Problem) -> int:
-    """Host-side: block half-bandwidth + 1 of the pose Hessian, from the
-    precomputed unique-pair tables.  Pass the result as
-    `BAConfig.band_width` to enable the banded assembly fast path."""
+    """Host-side: block half-bandwidth + 1 of the *Schur-reduced* pose
+    Hessian, from the precomputed unique-pair tables — the max over
+    two-pose residual spans AND landmark co-observation spans (the Schur
+    correction W V^-1 W^T couples every pair of poses seeing the same
+    landmark).  Pass the result as `BAConfig.band_width` to enable the
+    banded assembly / banded solve fast paths."""
     import numpy as np
 
     idx = problem.pidx
@@ -470,6 +473,18 @@ def band_width_of(problem: Problem) -> int:
         d = np.asarray(b_t) - np.asarray(a_t)
         if d.size:
             b = max(b, int(d.max()))
+    # co-observation span per landmark (padding rows are (pose 0, lm 0)
+    # and can only tie lm 0's span to pose 0 — a harmless overestimate)
+    wp = np.asarray(idx.wb_pose, np.int64)
+    wl = np.asarray(idx.wb_lm, np.int64)
+    if wp.size:
+        n_lm = int(wl.max()) + 1
+        mx = np.full(n_lm, -1, np.int64)
+        mn = np.full(n_lm, np.iinfo(np.int64).max, np.int64)
+        np.maximum.at(mx, wl, wp)
+        np.minimum.at(mn, wl, wp)
+        span = mx - mn
+        b = max(b, int(span[mx >= 0].max(initial=0)))
     return b + 1
 
 

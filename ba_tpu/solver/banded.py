@@ -1,0 +1,270 @@
+"""Banded direct solve of the Schur-reduced camera system.
+
+The scalable TPU counterpart of the reference's sparse reduced solve
+(`use_sparse_solver` -> Eigen `SimplicialLDLT`,
+/root/reference/src/BundleAdjuster.cpp:752-826), exploiting the structure a
+general sparse factorization only rediscovers: along a trajectory the
+reduced Hessian S = U - W V^-1 W^T is a *block band* — two-pose residuals
+couple nearby poses, and the Schur correction couples poses that co-observe
+a landmark, a span bounded by visibility (`band_width_of`).
+
+Pipeline (never materializes a dense S or W):
+
+  1. U is segment-summed onto a (P, B) block band grid (same formulation
+     as `assemble._assemble_banded`).
+  2. The Schur correction is segment-summed onto the SAME grid from the
+     host-enumerated per-landmark W-block pair table (`ProblemIndex.sp_*`):
+     each pair (i, j) of W blocks of one landmark contributes
+     -Wb_i V^-1 Wb_j^T at pose-pair (pose_i, pose_j).
+  3. The band is Jacobi-scaled (same scaling as `linear.solve_reduced` —
+     essential in f32, the entries span pixel^2..IMU-mahalanobis units)
+     and factorized by a CHUNKED BLOCK-TRIDIAGONAL Cholesky: chunks of
+     `chunk >= B` poses make the band system block-tridiagonal in chunks,
+     so the factorization is a `lax.scan` over ~P/B steps whose per-step
+     work is dense (chunk*D)^2 MXU ops — O(P) time and memory in the
+     window length (the dense path is O(P^3) / O(P^2)).
+  4. One step of iterative refinement through a banded matvec, then
+     matrix-free landmark back-substitution (shared with solver/cg.py).
+
+Memory: O(P * B * D^2) for the band + O(n_chunks * (chunk*D)^2) for the
+factors.  Flops: O(P * B^2 * D^3) — linear in the trajectory length.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..core.problem import BAConfig, Problem
+from . import cg as cg_mod
+from .linear import GnStep
+
+
+def _band_self_cross(P, B, D, dtype, pb, ju, u_pose, jb1, jb2, b1, b2,
+                     ji1, ji2, i1, i2):
+    """U on the (P*B,) band grid from weighted family blocks (band[p, d] =
+    U[p, p+d] block, d >= 0)."""
+    from .assemble import _band_pair_blocks, seg_sum_blocks
+
+    self6 = jnp.concatenate([
+        jnp.einsum("nik,nil->nkl", pb.j_m, pb.j_m),
+        jnp.einsum("nik,nil->nkl", pb.j_r, pb.j_r),
+        jnp.einsum("nik,nil->nkl", ju, ju),
+        jnp.einsum("nik,nil->nkl", jb1, jb1),
+        jnp.einsum("nik,nil->nkl", jb2, jb2)], axis=0)
+    self_ids = jnp.concatenate([pb.pose, pb.ref, u_pose, b1, b2]) * B
+    cross_p, ids_p = _band_pair_blocks(pb.j_m, pb.j_r, pb.pose, pb.ref, B)
+    cross_b, ids_b = _band_pair_blocks(jb1, jb2, b1, b2, B)
+    grid6 = seg_sum_blocks(
+        jnp.concatenate([self6, cross_p, cross_b], axis=0),
+        jnp.concatenate([self_ids, ids_p, ids_b]), P * B)
+    grid = jnp.zeros((P * B, D, D), dtype).at[:, :6, :6].add(grid6)
+
+    if ji1 is not None:
+        selfD = jnp.concatenate([
+            jnp.einsum("nik,nil->nkl", ji1, ji1),
+            jnp.einsum("nik,nil->nkl", ji2, ji2)], axis=0)
+        crossD, idsD = _band_pair_blocks(ji1, ji2, i1, i2, B)
+        grid = grid + seg_sum_blocks(
+            jnp.concatenate([selfD, crossD], axis=0),
+            jnp.concatenate([jnp.concatenate([i1, i2]) * B, idsD]), P * B)
+    return grid
+
+
+def band_S(problem: Problem, config: BAConfig, bs: cg_mod.BlockSystem,
+           P: int, D: int) -> jax.Array:
+    """Schur-reduced band (P, B, D, D): band[p, d] = S[p, p+d] (d >= 0,
+    diagonal blocks full/symmetric), with masked dims as identity rows.
+
+    `config.band_width` MUST come from `band_width_of` (which bounds both
+    residual spans and landmark co-observation spans) — out-of-band
+    contributions are an indexing-contract violation, not clipped.
+    """
+    from .assemble import seg_sum_blocks
+
+    B = config.band_width
+    dtype = bs.rhs_sc.dtype
+    grid = _band_self_cross(P, B, D, dtype, bs.pj, bs.ju, bs.u_pose,
+                            bs.jb1, bs.jb2, bs.b1, bs.b2, bs.ji1, bs.ji2,
+                            bs.i1, bs.i2)
+
+    # Schur correction on the band: for each per-landmark W-block pair
+    # (i, j) with a = pose_i <= b = pose_j, subtract Wb_i V^-1 Wb_j^T at
+    # band segment (a, b - a).  i == j covers the diagonal block once.
+    idx = problem.pidx
+    pj = bs.pj
+    wb_blocks = jnp.concatenate([
+        jnp.einsum("nik,nil->nkl", pj.j_m, pj.j_l),
+        jnp.einsum("nik,nil->nkl", pj.j_r, pj.j_l)], axis=0)
+    wb_ids = jnp.concatenate([problem.proj.wb_meas, problem.proj.wb_ref])
+    Wb = seg_sum_blocks(wb_blocks, wb_ids, idx.wb_pose.shape[0])
+    WbVi = jnp.einsum("nkl,nlm->nkm", Wb, bs.vinv[idx.wb_lm])
+
+    a = idx.wb_pose[idx.sp_i]
+    d = idx.wb_pose[idx.sp_j] - a
+    corr = jnp.einsum("nkl,nql->nkq", WbVi[idx.sp_i], Wb[idx.sp_j])
+    corr = corr * idx.sp_valid[:, None, None].astype(dtype)
+    seg = jnp.where(idx.sp_valid & (d < B), a * B + d, P * B)  # drop pad
+    corr_grid = seg_sum_blocks(corr, seg, P * B)
+    grid = grid.at[:, :6, :6].add(-corr_grid)
+
+    band = grid.reshape(P, B, D, D)
+    # zero blocks that would wrap past the last pose
+    pd = jnp.arange(P)[:, None] + jnp.arange(B)[None, :]
+    band = band * (pd < P)[:, :, None, None].astype(dtype)
+
+    # masked dims -> identity rows/cols (Jacobian columns are already
+    # zeroed; the dense path's 1e6 diagonal collapses to identity in the
+    # masked subspace)
+    mD = bs.col_mask[: P * D].reshape(P, D).astype(dtype)
+    band = band.at[:, 0].add(
+        jnp.eye(D, dtype=dtype)[None] * (1.0 - mD)[:, :, None])
+    return band
+
+
+def band_matvec(band, x):
+    """y = S x for the symmetric band representation; x (P*D,)."""
+    P, B, D, _ = band.shape
+    X = x.reshape(P, D)
+    up = jnp.arange(P)[:, None] + jnp.arange(B)[None, :]
+    Xu = X[jnp.clip(up, 0, P - 1)] * (up < P)[:, :, None].astype(x.dtype)
+    y = jnp.einsum("pbij,pbj->pi", band, Xu)
+    # strictly-lower part: y_q += band[q-d, d]^T x_{q-d}, d >= 1
+    lo = jnp.arange(P)[:, None] - jnp.arange(1, B)[None, :]
+    lo_c = jnp.clip(lo, 0, P - 1)
+    bg = band[lo_c, jnp.arange(1, B)[None, :]]
+    Xl = X[lo_c] * (lo >= 0)[:, :, None].astype(x.dtype)
+    y = y + jnp.einsum("pbij,pbi->pj", bg, Xl)
+    return y.reshape(-1)
+
+
+def _chunk_windows(band, chunk):
+    """(n_c, chunk*D, 2*chunk*D) dense windows: rows = the chunk's poses,
+    cols = this chunk + the next (scatter-free pad/flatten placement, same
+    trick as assemble.band_to_dense)."""
+    P, B, D, _ = band.shape
+    n_c = P // chunk
+    n = chunk * D
+    W2 = 2 * n
+
+    def window(ch):                     # (chunk, Bb, D, D) -> (n, W2)
+        Bb = ch.shape[1]
+        R = ch.transpose(0, 2, 1, 3).reshape(chunk, D, Bb * D)
+        R = jnp.pad(R, ((0, 0), (0, 0), (0, W2 - Bb * D)))
+        R = jnp.pad(R.reshape(chunk, D * W2), ((0, 0), (0, D)))
+        return R.reshape(-1)[: n * W2].reshape(n, W2)
+
+    chunks = band.reshape(n_c, chunk, B, D, D)
+    win = jax.vmap(window)(chunks)                      # (n_c, n, W2)
+    diag_once = jax.vmap(window)(chunks[:, :, :1])[:, :, :n]
+    upper = win[:, :, :n]
+    Dg = upper + jnp.swapaxes(upper, 1, 2) - diag_once  # (n_c, n, n)
+    Eg = win[:, :, n:]                                  # coupling to next
+    return Dg, Eg
+
+
+def _factor(Dg, Eg):
+    """Block-tridiagonal Cholesky: S = L L^T with L block lower-bidiagonal
+    (diag C_i, subdiag M_i).  Returns (C, M, ok)."""
+    n = Dg.shape[1]
+    dtype = Dg.dtype
+    C0 = jnp.eye(n, dtype=dtype)
+    E0 = jnp.zeros((n, n), dtype)
+
+    def step(carry, inp):
+        C_prev, E_prev = carry
+        D_i, E_i = inp
+        X = solve_triangular(C_prev, E_prev, lower=True)   # C^-1 E
+        C_i = jnp.linalg.cholesky(D_i - X.T @ X)
+        return (C_i, E_i), (C_i, X.T)
+
+    (_, _), (C, M) = jax.lax.scan(step, (C0, E0), (Dg, Eg))
+    ok = jnp.all(jnp.isfinite(C))
+    return C, M, ok
+
+
+def _solve_factored(C, M, b):
+    """x = (L L^T)^-1 b given the chunked factors; b (n_c, n)."""
+    n = C.shape[1]
+    y0 = jnp.zeros((n,), C.dtype)
+
+    def fwd(y_prev, inp):
+        C_i, M_i, b_i = inp
+        y_i = solve_triangular(C_i, b_i - M_i @ y_prev, lower=True)
+        return y_i, y_i
+
+    _, Y = jax.lax.scan(fwd, y0, (C, M, b))
+    M_next = jnp.concatenate([M[1:], jnp.zeros_like(M[:1])], axis=0)
+
+    def bwd(x_next, inp):
+        C_i, Mn_i, y_i = inp
+        x_i = solve_triangular(C_i, y_i - Mn_i.T @ x_next, lower=True,
+                               trans=1)
+        return x_i, x_i
+
+    _, X = jax.lax.scan(bwd, y0, (C, M_next, Y), reverse=True)
+    return X.reshape(-1)
+
+
+def solve_reduced_banded(problem: Problem, config: BAConfig,
+                         bs: cg_mod.BlockSystem, P: int, D: int) -> GnStep:
+    """Banded S assembly + chunked block-tridiagonal Cholesky + one step of
+    iterative refinement + matrix-free landmark back-substitution.
+
+    Mirrors `linear.solve_reduced` numerically (same Jacobi scaling, same
+    relative eps damping) so the two paths agree to f64 roundoff.
+    """
+    dtype = bs.rhs_sc.dtype
+    band = band_S(problem, config, bs, P, D)
+    B = config.band_width
+    rhs_sc = bs.rhs_sc
+
+    # Jacobi scaling in band form: band'[p,d,i,j] = s[p,i] band s[p+d,j]
+    diag = jnp.diagonal(band[:, 0], axis1=-2, axis2=-1)       # (P, D)
+    scal = jax.lax.rsqrt(jnp.maximum(diag, 1e-12))
+    up = jnp.clip(jnp.arange(P)[:, None] + jnp.arange(B)[None, :], 0, P - 1)
+    band_s = band * scal[:, None, :, None] * scal[up][:, :, None, :]
+    eps = jnp.asarray(1e-8 if dtype == jnp.float64 else 1e-4, dtype)
+    band_s = band_s.at[:, 0].add(eps * jnp.eye(D, dtype=dtype)[None])
+
+    # chunk size >= B makes the system block-tridiagonal in chunks; pad the
+    # trajectory with identity diagonal blocks
+    chunk = max(B, min(P, 16))
+    n_c = -(-P // chunk)
+    Pp = n_c * chunk
+    if Pp > P:
+        band_p = jnp.zeros((Pp, B, D, D), dtype)
+        band_p = band_p.at[:P].set(band_s)
+        band_p = band_p.at[P:, 0].set(jnp.eye(D, dtype=dtype))
+        band_s = band_p
+
+    Dg, Eg = _chunk_windows(band_s, chunk)
+    C, M, ok = _factor(Dg, Eg)
+
+    # The chunked block-tridiagonal Cholesky is an EXACT factorization of
+    # the band (coupling never reaches past the next chunk when
+    # chunk >= B), so the direct solve is already a full-accuracy answer
+    # up to roundoff; two unrolled iterative-refinement sweeps mop up the
+    # extra digits the sequential chunk Schur complements lose vs a flat
+    # Cholesky.  Straight-line code on purpose: wrapping the banded
+    # matvec's gathers in a `fori_loop`/`while_loop` nested inside the
+    # outer solve scan hard-faults the TPU at P >= 512 (XLA bug — the
+    # unnested and unrolled forms compile and run fine).
+    # Solve in the padded space (padded poses have identity diagonal and
+    # zero rhs, so their components stay exactly zero).
+    def precond(r):
+        return _solve_factored(C, M, r.reshape(n_c, chunk * D))
+
+    b = jnp.concatenate([rhs_sc * scal.reshape(-1),
+                         jnp.zeros((Pp * D - P * D,), dtype)])
+    x = precond(b)
+    for _ in range(2):
+        x = x + precond(b - band_matvec(band_s, x))
+    delta_p = x[: P * D] * scal.reshape(-1)
+
+    delta_p = jnp.where(jnp.isfinite(delta_p), delta_p, 0.0)
+    delta_p = jnp.where(bs.col_mask, delta_p, 0.0)
+
+    delta_l = cg_mod.back_substitute_blocks(bs, delta_p, P, D, 0)
+    return GnStep(delta_p=delta_p, delta_l=delta_l, ok=ok)

@@ -170,9 +170,11 @@ def _precond(bs: BlockSystem, r, P, D, K):
 
 
 def assemble_blocks(problem: Problem, config: BAConfig,
-                    imu_eval=None, axis_name=None) -> BlockSystem:
+                    imu_eval=None, axis_name=None,
+                    with_precond: bool = True) -> BlockSystem:
     """Evaluate all residual families into weighted blocks + the exact
-    block-Jacobi preconditioner of S."""
+    block-Jacobi preconditioner of S (`with_precond=False` skips the
+    preconditioner blocks — the banded direct solver doesn't need them)."""
     D, K, P, L, lm, N = asm.dims(problem, config)
     dtype = problem.poses.t.dtype
     cmask = asm.col_mask(problem, config)
@@ -252,6 +254,9 @@ def assemble_blocks(problem: Problem, config: BAConfig,
                       cost=cost, proj_w=pb.w)
     rhs_sc = rhs_p - _w_apply(tmp, z0, P, D, K)
     rhs_sc = jnp.where(cmask, rhs_sc, 0.0)
+
+    if not with_precond:
+        return tmp._replace(rhs_sc=rhs_sc, cost=cost), marg_H
 
     # --- exact block-Jacobi diagonal of S -----------------------------
     # U diagonal blocks per pose
@@ -359,14 +364,19 @@ def solve_reduced_cg(bs: BlockSystem, marg_H, config: BAConfig,
     delta_p = jnp.where(jnp.isfinite(x), x, 0.0)
     delta_p = jnp.where(bs.col_mask, delta_p, 0.0)
 
-    # back-substitution: delta_l = V^-1 (rhs_l - W^T delta_p)
+    delta_l = back_substitute_blocks(bs, delta_p, P, D, K)
+    ok = jnp.all(jnp.isfinite(x))
+    return GnStep(delta_p=delta_p, delta_l=delta_l, ok=ok)
+
+
+def back_substitute_blocks(bs: BlockSystem, delta_p, P, D, K) -> jax.Array:
+    """delta_l = V^-1 (rhs_l - W^T delta_p), matrix-free through the
+    projection blocks (reference GetLandmarkDelta, cpp:709-744)."""
     L, lm, _ = bs.vinv.shape
     xp6 = delta_p[: P * D].reshape(P, D)[:, :6]
     wt = _wt_apply(bs, xp6, delta_p[P * D:])
     resid = bs.rhs_l.reshape(L, lm) - wt
-    delta_l = jnp.einsum("lij,lj->li", bs.vinv, resid).reshape(-1)
-    ok = jnp.all(jnp.isfinite(x))
-    return GnStep(delta_p=delta_p, delta_l=delta_l, ok=ok)
+    return jnp.einsum("lij,lj->li", bs.vinv, resid).reshape(-1)
 
 
 def cauchy_factor(bs: BlockSystem, marg_H, P, D, K):

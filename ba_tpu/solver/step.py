@@ -152,12 +152,22 @@ def _build_and_solve(problem: Problem, config: BAConfig,
     (`use_sparse_solver`, BundleAdjuster.h:92)."""
     imu_eval = _imu_eval(problem, config, use_imu, True)
     imu_c9 = imu_eval.c9 if imu_eval is not None else None
-    if config.use_cg_solver:
+    from .assemble import dims
+    D, K, P, L, lm, N = dims(problem, config)
+    # banded direct solve: needs a band, no calib block, no marg prior
+    # (all static properties -> plain Python gate)
+    banded_ok = (config.use_banded_solver and 0 < config.band_width <= P
+                 and K == 0 and problem.marg.H.shape[0] != P * D)
+    if config.use_cg_solver or banded_ok:
         from . import cg as cg_mod
-        from .assemble import dims
-        D, K, P, L, lm, N = dims(problem, config)
-        bs, marg_H = cg_mod.assemble_blocks(problem, config, imu_eval)
-        step = cg_mod.solve_reduced_cg(bs, marg_H, config, P, D, K)
+        bs, marg_H = cg_mod.assemble_blocks(problem, config, imu_eval,
+                                            with_precond=not banded_ok)
+        if banded_ok:
+            from . import banded as banded_mod
+            step = banded_mod.solve_reduced_banded(problem, config, bs,
+                                                   P, D)
+        else:
+            step = cg_mod.solve_reduced_cg(bs, marg_H, config, P, D, K)
         alpha = cg_mod.cauchy_factor(bs, marg_H, P, D, K)
         return BuildOut(step=step, cost=bs.cost, proj_w=bs.proj_w,
                         rhs_p=bs.rhs_p, rhs_l=bs.rhs_l,

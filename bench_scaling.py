@@ -33,6 +33,9 @@ def run_one(n_poses, n_lms, solver, n_iters=10):
                                      with_marg_prior=False)
     if solver == "band":
         cfg = dc.replace(cfg, band_width=band_width_of(problem))
+    elif solver == "bandsolve":
+        cfg = dc.replace(cfg, band_width=band_width_of(problem),
+                         use_banded_solver=True)
     if not jax.config.jax_enable_x64:
         problem = jax.tree_util.tree_map(
             lambda a: a.astype(np.float32)
@@ -55,7 +58,13 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--sizes", default="64,128,256,512,1024")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--solvers", default="dense,band,cg")
+    ap.add_argument("--x64", action="store_true",
+                    help="enable x64 (problems stay f32; the banded "
+                         "direct solver factorizes its small band in f64)")
     args = ap.parse_args()
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -67,7 +76,7 @@ def main():
     rows = []
     for p in sizes:
         lms = p * 4
-        for solver in ("dense", "band", "cg"):
+        for solver in args.solvers.split(","):
             try:
                 kf_s, ms, cost = run_one(p, lms, solver, args.iters)
             except Exception as e:  # noqa: BLE001 — record OOM/compile fails

@@ -113,3 +113,150 @@ def test_banded_same_pose_stereo_rows():
                                rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(np.asarray(a1.rhs_sc),
                                np.asarray(a0.rhs_sc), rtol=1e-9, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Banded direct reduced solve (solver/banded.py)
+# ---------------------------------------------------------------------------
+
+
+def _banded_cfg(problem, cfg):
+    return dataclasses.replace(cfg, band_width=asm.band_width_of(problem),
+                               use_banded_solver=True)
+
+
+def test_band_S_matches_dense_schur():
+    """The Schur-corrected band must equal the dense path's S block band
+    (incl. the masked-dim identity convention)."""
+    from ba_tpu.solver import banded, cg as cg_mod
+
+    problem, cfg = _problem(n_poses=18, n_lms=45)
+    mask = np.asarray(problem.poses.mask).copy()
+    mask[4, :6] = False
+    problem = dataclasses.replace(
+        problem, poses=dataclasses.replace(problem.poses,
+                                           mask=jnp.asarray(mask)))
+    cfg_b = _banded_cfg(problem, cfg)
+    D, P = cfg.pose_dim, int(problem.poses.q.shape[0])
+    B = cfg_b.band_width
+
+    ie = _imu_eval(problem, cfg, True, True)
+    a0 = asm.assemble(problem, cfg, imu_eval=ie)
+    # dense S has 1e6 on masked diag; strip it and add identity instead
+    m = np.asarray(a0.col_mask)
+    S0 = np.asarray(a0.S).copy()
+    S0[~m, ~m] += 1.0 - 1e6
+
+    bs, _ = cg_mod.assemble_blocks(problem, cfg_b, ie)
+    band = np.asarray(banded.band_S(problem, cfg_b, bs, P, D))
+    for p in range(P):
+        for d in range(B):
+            if p + d >= P:
+                continue
+            blk = S0[p*D:(p+1)*D, (p+d)*D:(p+d+1)*D]
+            np.testing.assert_allclose(band[p, d], blk, rtol=1e-9,
+                                       atol=1e-9,
+                                       err_msg=f"block ({p},{p+d})")
+    # everything outside the band must be zero in the dense S
+    for p in range(P):
+        for q in range(p + B, P):
+            np.testing.assert_allclose(S0[p*D:(p+1)*D, q*D:(q+1)*D], 0.0,
+                                       atol=1e-9)
+
+
+def test_band_matvec_matches_dense():
+    from ba_tpu.solver import banded
+
+    rng = np.random.default_rng(3)
+    P, B, D = 9, 4, 3
+    band = rng.standard_normal((P, B, D, D))
+    band[:, 0] = band[:, 0] + np.swapaxes(band[:, 0], 1, 2)
+    pd = np.arange(P)[:, None] + np.arange(B)[None, :]
+    band = band * (pd < P)[:, :, None, None]
+    dense = np.asarray(asm.band_to_dense(jnp.asarray(band)))
+    x = rng.standard_normal(P * D)
+    got = np.asarray(banded.band_matvec(jnp.asarray(band), jnp.asarray(x)))
+    np.testing.assert_allclose(got, dense @ x, rtol=1e-11, atol=1e-11)
+
+
+def test_banded_solve_step_matches_dense():
+    """GnStep from the banded direct solver == dense Cholesky path
+    (f64, VI problem with IMU + robust norms + masked dims)."""
+    from ba_tpu.solver.step import _build_and_solve
+
+    problem, cfg = _problem(n_poses=30, n_lms=90)
+    mask = np.asarray(problem.poses.mask).copy()
+    mask[7, :6] = False
+    problem = dataclasses.replace(
+        problem, poses=dataclasses.replace(problem.poses,
+                                           mask=jnp.asarray(mask)))
+    cfg_b = _banded_cfg(problem, cfg)
+
+    d0 = _build_and_solve(problem, cfg, True)
+    d1 = _build_and_solve(problem, cfg_b, True)
+    assert bool(d1.step.ok)
+    # the banded path solves by PCG (factored-band preconditioner) to a
+    # 1e-12 relative residual; on a ~1e7-conditioned system the *solution*
+    # match to the dense direct solve is cond * tol
+    scale = np.abs(np.asarray(d0.step.delta_p)).max()
+    np.testing.assert_allclose(np.asarray(d1.step.delta_p),
+                               np.asarray(d0.step.delta_p),
+                               rtol=1e-3, atol=1e-3 * scale)
+    scale_l = np.abs(np.asarray(d0.step.delta_l)).max()
+    np.testing.assert_allclose(np.asarray(d1.step.delta_l),
+                               np.asarray(d0.step.delta_l),
+                               rtol=1e-3, atol=1e-3 * scale_l)
+    np.testing.assert_allclose(float(d1.cost), float(d0.cost), rtol=1e-12)
+
+
+def test_banded_solve_trajectory_matches_dense():
+    problem, cfg = _problem(n_poses=26, n_lms=70)
+    cfg_b = _banded_cfg(problem, cfg)
+    p0, costs0, _ = solve_fixed(problem, cfg, True, 5)
+    p1, costs1, _ = solve_fixed(problem, cfg_b, True, 5)
+    np.testing.assert_allclose(np.asarray(costs1), np.asarray(costs0),
+                               rtol=1e-4, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p1.poses.t),
+                               np.asarray(p0.poses.t), rtol=1e-4,
+                               atol=1e-7)
+
+
+def test_banded_solve_dogleg_matches_dense():
+    problem, cfg = _problem(n_poses=22, n_lms=60)
+    cfg_d = dataclasses.replace(cfg, use_dogleg=True)
+    cfg_b = dataclasses.replace(_banded_cfg(problem, cfg), use_dogleg=True)
+    _, costs0, _ = solve_fixed(problem, cfg_d, True, 4)
+    _, costs1, _ = solve_fixed(problem, cfg_b, True, 4)
+    np.testing.assert_allclose(np.asarray(costs1), np.asarray(costs0),
+                               rtol=1e-4, atol=1e-12)
+
+
+def test_banded_solver_falls_back_without_band():
+    """use_banded_solver without band_width (or with calib) must fall back
+    to the dense path, not crash."""
+    problem, cfg = _problem(n_poses=10, n_lms=24)
+    cfg_nb = dataclasses.replace(cfg, use_banded_solver=True)  # no band
+    _, costs, _ = solve_fixed(problem, cfg_nb, True, 2)
+    assert np.all(np.isfinite(np.asarray(costs)))
+
+
+def test_schur_pair_table_counts():
+    """sp table enumerates each landmark's observing-pose pairs exactly."""
+    problem, _ = _problem(n_poses=12, n_lms=30)
+    idx = problem.pidx
+    wp = np.asarray(idx.wb_pose)
+    wl = np.asarray(idx.wb_lm)
+    sp_i = np.asarray(idx.sp_i)[np.asarray(idx.sp_valid)]
+    sp_j = np.asarray(idx.sp_j)[np.asarray(idx.sp_valid)]
+    # pose order within a pair + same landmark
+    assert np.all(wp[sp_i] <= wp[sp_j])
+    assert np.all(wl[sp_i] == wl[sp_j])
+    # count = sum_l n_l (n_l + 1) / 2 over the real (non-padding) blocks
+    pairs = set(zip(wp.tolist(), wl.tolist()))
+    from collections import Counter
+
+    n_per_lm = Counter(l for _, l in pairs)
+    want = sum(n * (n + 1) // 2 for n in n_per_lm.values())
+    # padding wb rows may alias (0, 0); allow exact or -1 for that alias
+    assert len(set(zip(sp_i.tolist(), sp_j.tolist()))) == len(sp_i)
+    assert len(sp_i) in (want, want - 1)
