@@ -315,6 +315,70 @@ def _sharded_build_lm(problem: Problem, config: BAConfig, use_imu: bool,
     )(problem, colm, colm6)
 
 
+def _sharded_build_cg(problem: Problem, config: BAConfig, use_imu: bool,
+                      mesh: Mesh):
+    """Landmark-sharded build + matrix-free PCG reduced solve, entirely
+    inside one shard_map (ROADMAP: CG-in-shard_map).
+
+    vs `_sharded_build_lm`: no dense S (N, N) psum and no per-device
+    (N, Lk*lm) W materialization — assembly psums only (N,)-/(P, D, D)-
+    sized partials and every CG matvec psums one (N,) vector, so both
+    per-device memory AND ICI traffic are O(N + Nr/n) per iteration.
+    Same return signature as `_sharded_build_lm`."""
+    D, K, Pn, L, lm, N = asm.dims(problem, config)
+    n_dev = mesh.devices.size
+    Lk = L // n_dev
+    dtype = problem.poses.t.dtype
+    colm = asm.col_mask(problem, config).astype(dtype)
+    colm6 = asm.col_mask(problem, config, 6).astype(dtype)
+
+    from ..solver import cg as cg_mod
+
+    row = P(AXIS)
+    repl = P()
+
+    def rows_except_scalars(table):
+        return jax.tree_util.tree_map(
+            lambda a: row if a.ndim else repl, table)
+
+    in_specs = dataclasses.replace(
+        jax.tree_util.tree_map(lambda _: repl, problem),
+        proj=rows_except_scalars(problem.proj),
+        unary=rows_except_scalars(problem.unary),
+        binary=rows_except_scalars(problem.binary),
+        imu=rows_except_scalars(problem.imu),
+        lms=rows_except_scalars(problem.lms),
+    )
+
+    def local(problem_shard, colm_, colm6_):
+        k = jax.lax.axis_index(AXIS)
+        pr_local = dataclasses.replace(
+            problem_shard.proj, lm=problem_shard.proj.lm - k * Lk)
+        p_local = dataclasses.replace(problem_shard, proj=pr_local)
+        ie = _imu_eval(p_local, config, True, True) if use_imu else None
+        bs, marg_H = cg_mod.assemble_blocks(
+            p_local, config, ie, axis_name=AXIS, lm_offset=k * Lk)
+        step = cg_mod.solve_reduced_cg(bs, marg_H, config, Pn, D, K,
+                                       axis_name=AXIS)
+        alpha = cg_mod.cauchy_factor(bs, marg_H, Pn, D, K, axis_name=AXIS)
+        return (step.delta_p, step.delta_l, bs.rhs_p, bs.rhs_l, bs.cost,
+                alpha, step.ok, bs.proj_w)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(in_specs, repl, repl),
+        out_specs=(repl, P(AXIS), repl, P(AXIS), repl, repl, repl,
+                   P(AXIS)),
+        check_vma=False,
+    )(problem, colm, colm6)
+
+
+def _sharded_build(problem, config, use_imu, mesh):
+    """Dispatch: matrix-free CG (use_cg_solver) or dense replicated-S."""
+    build = _sharded_build_cg if config.use_cg_solver else _sharded_build_lm
+    return build(problem, config, use_imu, mesh)
+
+
 @partial(jax.jit, static_argnames=("config", "use_imu", "mesh",
                                    "gn_damping"))
 def sharded_gn_iteration_lm(problem: Problem, config: BAConfig,
@@ -322,7 +386,7 @@ def sharded_gn_iteration_lm(problem: Problem, config: BAConfig,
                             gn_damping: float = 1.0) -> IterResult:
     """Distributed GN iteration with landmark-sharded Schur complement."""
     problem = apply_robust_reweighting(problem, config, use_imu)
-    delta_p, delta_l, _, _, cost, _, ok, w = _sharded_build_lm(
+    delta_p, delta_l, _, _, cost, _, ok, w = _sharded_build(
         problem, config, use_imu, mesh)
 
     candidate = apply_update(problem, config, delta_p, delta_l,
@@ -347,7 +411,7 @@ def sharded_dogleg_iteration_lm(problem: Problem, config: BAConfig,
     from ..solver.step import dogleg_search
 
     problem = apply_robust_reweighting(problem, config, use_imu)
-    delta_p, delta_l, rhs_p, rhs_l, cost, alpha, ok, w = _sharded_build_lm(
+    delta_p, delta_l, rhs_p, rhs_l, cost, alpha, ok, w = _sharded_build(
         problem, config, use_imu, mesh)
 
     d_gn = jnp.concatenate([delta_p, delta_l])

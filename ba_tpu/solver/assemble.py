@@ -512,17 +512,16 @@ def assemble(problem: Problem, config: BAConfig, imu_eval=None) -> Assembly:
     `imu_eval` is an optional precomputed ImuEval (ba_tpu.core.residuals.imu)
     so the IMU preintegration scan is shared with cost evaluation.
 
-    When `config.band_width > 0` (and there is no calibration block or
-    marginalization prior) U is assembled on a banded block grid and
-    densified without any scatter — the fast path for long trajectories.
+    When `config.band_width > 0` (and there is no calibration block) U is
+    assembled on a banded block grid and densified without any scatter —
+    the fast path for long trajectories.  A marginalization prior (dense,
+    pose-dims only) is added after densification.
     """
     D, K, P, L, lm, N = dims(problem, config)
     cmask = col_mask(problem, config)
     colm = cmask.astype(problem.poses.t.dtype)
     colm6 = col_mask(problem, config, 6).astype(problem.poses.t.dtype)
-    marg_enabled = problem.marg.H.shape[0] == P * D
-    if (config.band_width and config.band_width <= P and K == 0
-            and not marg_enabled):
+    if config.band_width and config.band_width <= P and K == 0:
         return _assemble_banded(problem, config, imu_eval, cmask, colm,
                                 colm6)
     comp, w = proj_contribution(problem, config, colm6)
@@ -620,6 +619,9 @@ def _assemble_banded(problem: Problem, config: BAConfig, imu_eval, cmask,
 
     contrib = Contribution(U=U, rhs_p=rhs_p, W=W, V=V, rhs_l=rhs_l,
                            cost=cost)
+    # marginalization prior: dense over pose dims only — added onto the
+    # densified U (it has no band structure, but U is dense from here on)
+    contrib = _add(contrib, marg_contribution(problem, config, colm))
     return finish(contrib, cmask, pb.w)
 
 

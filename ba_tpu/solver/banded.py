@@ -244,13 +244,17 @@ def solve_reduced_banded(problem: Problem, config: BAConfig,
 
     # The chunked block-tridiagonal Cholesky is an EXACT factorization of
     # the band (coupling never reaches past the next chunk when
-    # chunk >= B), so the direct solve is already a full-accuracy answer
-    # up to roundoff; two unrolled iterative-refinement sweeps mop up the
-    # extra digits the sequential chunk Schur complements lose vs a flat
-    # Cholesky.  Straight-line code on purpose: wrapping the banded
-    # matvec's gathers in a `fori_loop`/`while_loop` nested inside the
-    # outer solve scan hard-faults the TPU at P >= 512 (XLA bug — the
-    # unnested and unrolled forms compile and run fine).
+    # chunk >= B) in exact arithmetic — but in f32 the *sequential* chunk
+    # Schur complements lose digits a flat Cholesky would keep, and on
+    # ill-conditioned windows plain iterative refinement with a sloppy
+    # factor can amplify instead of contract.  So the factor is used as a
+    # PRECONDITIONER inside a short unrolled PCG: monotone in the S-norm
+    # even when the factorization is only approximate, and each iteration
+    # is one banded matvec + one factored solve (both O(P)).  Unrolled
+    # straight-line code on purpose: wrapping the banded matvec's gathers
+    # in a `fori_loop`/`while_loop` nested inside the outer solve scan
+    # hard-faults the TPU at P >= 512 (XLA bug — the unrolled forms
+    # compile and run fine).
     # Solve in the padded space (padded poses have identity diagonal and
     # zero rhs, so their components stay exactly zero).
     def precond(r):
@@ -258,10 +262,28 @@ def solve_reduced_banded(problem: Problem, config: BAConfig,
 
     b = jnp.concatenate([rhs_sc * scal.reshape(-1),
                          jnp.zeros((Pp * D - P * D,), dtype)])
-    x = precond(b)
-    for _ in range(2):
-        x = x + precond(b - band_matvec(band_s, x))
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = r @ z
+    n_pcg = 4 if dtype == jnp.float64 else 12
+    for _ in range(n_pcg):
+        Ap = band_matvec(band_s, p)
+        pAp = p @ Ap
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp > 0, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = r @ z
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        rz = rz_new
     delta_p = x[: P * D] * scal.reshape(-1)
+    # guard: reject steps the short PCG failed to stabilize (residual not
+    # reduced below the rhs) — `ok=False` makes GN/dogleg fall back to
+    # rejection instead of applying garbage
+    ok = ok & (r @ r <= b @ b)
 
     delta_p = jnp.where(jnp.isfinite(delta_p), delta_p, 0.0)
     delta_p = jnp.where(bs.col_mask, delta_p, 0.0)

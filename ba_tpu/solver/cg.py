@@ -149,13 +149,24 @@ def _u_apply(bs: BlockSystem, xm, P, D, K, marg_H=None):
     return y
 
 
-def s_matvec(bs: BlockSystem, x, P, D, K, lam, marg_H=None):
-    """(S + lam*diag(S)) x in the masked subspace; identity on masked dims."""
+def s_matvec(bs: BlockSystem, x, P, D, K, lam, marg_H=None,
+             axis_name=None):
+    """(S + lam*diag(S)) x in the masked subspace; identity on masked dims.
+
+    With `axis_name` (inside shard_map, landmark-sharded layout): the
+    residual/landmark sums are shard-local partials, psum'd once per
+    matvec — only (N,) crosses the ICI, vs the (N, N) dense S psum of the
+    direct sharded path.  The replicated marginalization prior and
+    damping are applied after the psum (counted once)."""
     xm = jnp.where(bs.col_mask, x, 0.0)
-    y = _u_apply(bs, xm, P, D, K, marg_H)
+    y = _u_apply(bs, xm, P, D, K, marg_H if axis_name is None else None)
     wt = _wt_apply(bs, xm[: P * D].reshape(P, D)[:, :6], xm[P * D:])
     z = jnp.einsum("lij,lj->li", bs.vinv, wt)
     y = y - _w_apply(bs, z, P, D, K)
+    if axis_name is not None:
+        y = jax.lax.psum(y, axis_name)
+        if marg_H is not None:
+            y = y.at[: P * D].add(marg_H @ xm[: P * D])
     y = y + lam * bs.dscale * xm
     return jnp.where(bs.col_mask, y, x)
 
@@ -171,10 +182,19 @@ def _precond(bs: BlockSystem, r, P, D, K):
 
 def assemble_blocks(problem: Problem, config: BAConfig,
                     imu_eval=None, axis_name=None,
-                    with_precond: bool = True) -> BlockSystem:
+                    with_precond: bool = True,
+                    lm_offset=0) -> BlockSystem:
     """Evaluate all residual families into weighted blocks + the exact
     block-Jacobi preconditioner of S (`with_precond=False` skips the
-    preconditioner blocks — the banded direct solver doesn't need them)."""
+    preconditioner blocks — the banded direct solver doesn't need them).
+
+    With `axis_name` (inside shard_map, landmark-sharded layout from
+    `parallel.partition`): the caller passes a problem whose `proj.lm`
+    ids are already localized to the shard's landmark chunk and
+    `lm_offset` = the chunk's global start.  V / vinv / rhs_l stay
+    shard-local; rhs_p, cost, the Schur-reduced rhs and the block-Jacobi
+    preconditioner are psum'd (they are sums over residuals); the
+    replicated marginalization prior is added once after the psum."""
     D, K, P, L, lm, N = asm.dims(problem, config)
     dtype = problem.poses.t.dtype
     cmask = asm.col_mask(problem, config)
@@ -226,11 +246,15 @@ def assemble_blocks(problem: Problem, config: BAConfig,
     if K:
         rk = jnp.einsum("nik,ni->k", pb.j_c, pb.r)
         rhs_p = jnp.concatenate([rhs_p, rk])
+    cost = (pb.cost + jnp.sum(ue.err_sq) + jnp.sum(be.err_sq) + imu_cost)
+    if axis_name is not None:
+        rhs_p = jax.lax.psum(rhs_p, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
 
-    # marginalization prior: gradient + curvature (static-shape gate)
+    # marginalization prior: gradient + curvature (static-shape gate);
+    # a replicated factor — added once, after the psum
     marg = problem.marg
     marg_H = None
-    cost = (pb.cost + jnp.sum(ue.err_sq) + jnp.sum(be.err_sq) + imu_cost)
     if marg.H.shape[0] == P * D:
         on = marg.active.astype(dtype)
         delta = asm.pose_tangent(problem.poses, marg, D)
@@ -252,7 +276,10 @@ def assemble_blocks(problem: Problem, config: BAConfig,
                       minv_pose=jnp.zeros((P, D, D), dtype),
                       minv_cal=None, dscale=jnp.ones((N,), dtype),
                       cost=cost, proj_w=pb.w)
-    rhs_sc = rhs_p - _w_apply(tmp, z0, P, D, K)
+    w_z0 = _w_apply(tmp, z0, P, D, K)
+    if axis_name is not None:
+        w_z0 = jax.lax.psum(w_z0, axis_name)
+    rhs_sc = rhs_p - w_z0
     rhs_sc = jnp.where(cmask, rhs_sc, 0.0)
 
     if not with_precond:
@@ -275,21 +302,29 @@ def assemble_blocks(problem: Problem, config: BAConfig,
             jnp.concatenate([jnp.einsum("nik,nil->nkl", ji1, ji1),
                              jnp.einsum("nik,nil->nkl", ji2, ji2)], axis=0),
             jnp.concatenate([i1, i2]), num_segments=P)
-    if marg_H is not None:
-        Hd = marg_H.reshape(P, D, P, D)
-        diag = diag + jax.vmap(lambda p: Hd[p, :, p, :])(jnp.arange(P))
     # Schur correction: sum_l Wb_{p,l} V_l^-1 Wb_{p,l}^T via the W-block
-    # table (host-enumerated unique (pose, lm) blocks)
+    # table (host-enumerated unique (pose, lm) blocks).  Sharded: the wb
+    # table is global but a shard's residuals only ever populate its own
+    # landmarks' rows (partition_by_landmark ownership) — foreign rows
+    # segment-sum to exactly zero, so the clipped vinv gather is inert.
     idx = problem.pidx
+    wb_lm = idx.wb_lm
+    if axis_name is not None:
+        wb_lm = jnp.clip(wb_lm - lm_offset, 0, L - 1)
     wb_blocks = jnp.concatenate([
         jnp.einsum("nik,nil->nkl", pb.j_m, pb.j_l),
         jnp.einsum("nik,nil->nkl", pb.j_r, pb.j_l)], axis=0)
     wb_ids = jnp.concatenate([problem.proj.wb_meas, problem.proj.wb_ref])
     Wb = jax.ops.segment_sum(wb_blocks, wb_ids,
                              num_segments=idx.wb_pose.shape[0])
-    G = jnp.einsum("nkl,nlm,nqm->nkq", Wb, vinv[idx.wb_lm], Wb)
+    G = jnp.einsum("nkl,nlm,nqm->nkq", Wb, vinv[wb_lm], Wb)
     corr6 = jax.ops.segment_sum(G, idx.wb_pose, num_segments=P)
     diag = diag.at[:, :6, :6].add(-corr6)
+    if axis_name is not None:
+        diag = jax.lax.psum(diag, axis_name)
+    if marg_H is not None:
+        Hd = marg_H.reshape(P, D, P, D)
+        diag = diag + jax.vmap(lambda p: Hd[p, :, p, :])(jnp.arange(P))
 
     # masked dims -> identity rows/cols (the dense path's 1e6 diagonal
     # regularization collapses to exact identity in the masked subspace)
@@ -311,6 +346,8 @@ def assemble_blocks(problem: Problem, config: BAConfig,
             jnp.einsum("nik,nil->nkl", pb.j_c, pb.j_l), lm_ids,
             num_segments=L)
         Sc = Uc - jnp.einsum("lkm,lmn,lqn->kq", Wc, vinv, Wc)
+        if axis_name is not None:
+            Sc = jax.lax.psum(Sc, axis_name)
         dk = jnp.maximum(jnp.diag(Sc), 1e-12)
         Sc = Sc + lam * jnp.diag(dk)
         minv_cal = jnp.linalg.inv(
@@ -324,13 +361,18 @@ def assemble_blocks(problem: Problem, config: BAConfig,
 
 
 def solve_reduced_cg(bs: BlockSystem, marg_H, config: BAConfig,
-                     P, D, K) -> GnStep:
-    """PCG on S delta_p = rhs_sc, then landmark back-substitution."""
+                     P, D, K, axis_name=None) -> GnStep:
+    """PCG on S delta_p = rhs_sc, then landmark back-substitution.
+
+    Runs unchanged inside shard_map (`axis_name` set): rhs_sc and the
+    preconditioner are replicated after assembly's psums, every matvec
+    psums its (N,) partial, so all CG scalars stay replicated and the
+    iteration is device-count-invariant."""
     dtype = bs.rhs_sc.dtype
     lam = jnp.asarray(1e-8 if dtype == jnp.float64 else 1e-4, dtype)
 
     def mv(x):
-        return s_matvec(bs, x, P, D, K, lam, marg_H)
+        return s_matvec(bs, x, P, D, K, lam, marg_H, axis_name)
 
     b = bs.rhs_sc
     x0 = jnp.zeros_like(b)
@@ -379,15 +421,24 @@ def back_substitute_blocks(bs: BlockSystem, delta_p, P, D, K) -> jax.Array:
     return jnp.einsum("lij,lj->li", bs.vinv, resid).reshape(-1)
 
 
-def cauchy_factor(bs: BlockSystem, marg_H, P, D, K):
+def cauchy_factor(bs: BlockSystem, marg_H, P, D, K, axis_name=None):
     """alpha = ||rhs||^2 / (rhs^T H rhs) over pose+landmark dims (the
-    dogleg Cauchy step, reference cpp:857-925), through the blocks."""
+    dogleg Cauchy step, reference cpp:857-925), through the blocks.
+    Sharded: rhs_p is replicated, rhs_l/V local — the landmark terms and
+    the residual-sum quadratic are psum'd, the marg term counted once."""
     L, lm, _ = bs.V.shape
     rl = bs.rhs_l.reshape(L, lm)
-    num = jnp.sum(bs.rhs_p ** 2) + jnp.sum(bs.rhs_l ** 2)
-    Ur = _u_apply(bs, jnp.where(bs.col_mask, bs.rhs_p, 0.0), P, D, K,
-                  marg_H)
+    rp = jnp.where(bs.col_mask, bs.rhs_p, 0.0)
+    Ur = _u_apply(bs, rp, P, D, K,
+                  marg_H if axis_name is None else None)
+    num_l = jnp.sum(bs.rhs_l ** 2)
     den = (bs.rhs_p @ Ur
            + 2.0 * (bs.rhs_p @ _w_apply(bs, rl, P, D, K))
            + jnp.einsum("li,lij,lj->", rl, bs.V, rl))
+    if axis_name is not None:
+        num_l = jax.lax.psum(num_l, axis_name)
+        den = jax.lax.psum(den, axis_name)
+        if marg_H is not None:
+            den = den + rp[: P * D] @ (marg_H @ rp[: P * D])
+    num = jnp.sum(bs.rhs_p ** 2) + num_l
     return num / jnp.maximum(den, 1e-30)

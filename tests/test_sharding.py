@@ -218,3 +218,136 @@ def test_sharded_solve_fixed_converges():
                                          landmark_sharded=True))
     out, costs, _ = shard.sharded_solve_fixed(p_shard, cfg, False, mesh, 8)
     assert float(costs[-1]) < 1e-4, costs
+
+
+# ---------------------------------------------------------------------------
+# CG-in-shard_map: matrix-free sharded reduced solve (use_cg_solver)
+# ---------------------------------------------------------------------------
+
+
+def _cg_cfg(cfg):
+    return dataclasses.replace(cfg, use_cg_solver=True,
+                               cg_max_iterations=400, cg_tolerance=1e-12)
+
+
+def test_sharded_cg_gn_matches_single_cg():
+    """Landmark-sharded matrix-free CG == single-device CG, per iteration."""
+    from ba_tpu.parallel.partition import partition_by_landmark
+
+    problem, cfg = make_scene(n_poses=8, n_lms=40, perturb=0.02)
+    cfg = _cg_cfg(cfg)
+    problem = partition_by_landmark(problem, cfg, 8)
+    problem = _pad_pose_tables(problem, 8)
+    problem = prepare_landmarks(problem, cfg)
+    mesh = shard.make_mesh(8)
+    p_single = problem
+    p_shard = jax.device_put(
+        problem, shard.problem_shardings(problem, mesh,
+                                         landmark_sharded=True))
+    for _ in range(5):
+        r1 = step_mod.gn_iteration(p_single, cfg, False, 1.0, False)
+        r2 = shard.sharded_gn_iteration_lm(p_shard, cfg, False, mesh)
+        np.testing.assert_allclose(float(r1.pre_cost), float(r2.pre_cost),
+                                   rtol=1e-6, atol=1e-11)
+        np.testing.assert_allclose(float(r1.post_cost),
+                                   float(r2.post_cost), rtol=1e-6,
+                                   atol=1e-9)
+        p_single, p_shard = r1.problem, r2.problem
+    assert float(r2.post_cost) < 1e-4
+
+
+def test_sharded_cg_step_matches_sharded_dense():
+    """One sharded CG step == one sharded dense-S step (same build)."""
+    from ba_tpu.parallel.partition import partition_by_landmark
+
+    problem, cfg = make_scene(n_poses=8, n_lms=40, perturb=0.02, seed=3)
+    problem = partition_by_landmark(problem, cfg, 8)
+    problem = _pad_pose_tables(problem, 8)
+    problem = prepare_landmarks(problem, cfg)
+    mesh = shard.make_mesh(8)
+    p_shard = jax.device_put(
+        problem, shard.problem_shardings(problem, mesh,
+                                         landmark_sharded=True))
+    r_dense = shard.sharded_gn_iteration_lm(p_shard, cfg, False, mesh)
+    r_cg = shard.sharded_gn_iteration_lm(p_shard, _cg_cfg(cfg), False, mesh)
+    np.testing.assert_allclose(float(r_cg.pre_cost),
+                               float(r_dense.pre_cost), rtol=1e-10)
+    np.testing.assert_allclose(float(r_cg.post_cost),
+                               float(r_dense.post_cost), rtol=1e-5,
+                               atol=1e-9)
+
+
+def test_sharded_cg_dogleg_matches_single():
+    from ba_tpu.parallel.partition import partition_by_landmark
+
+    problem, cfg = make_scene(n_poses=8, n_lms=40, perturb=0.03, seed=6)
+    cfg = dataclasses.replace(_cg_cfg(cfg), use_dogleg=True)
+    problem = partition_by_landmark(problem, cfg, 8)
+    problem = _pad_pose_tables(problem, 8)
+    problem = prepare_landmarks(problem, cfg)
+    mesh = shard.make_mesh(8)
+    p_shard = jax.device_put(
+        problem, shard.problem_shardings(problem, mesh,
+                                         landmark_sharded=True))
+    trust1 = trust2 = jnp.asarray(-1.0, problem.poses.t.dtype)
+    for _ in range(4):
+        r1 = step_mod.dogleg_iteration(problem, cfg, False, trust1)
+        r2 = shard.sharded_dogleg_iteration_lm(p_shard, cfg, False, mesh,
+                                               trust2)
+        np.testing.assert_allclose(float(r1.post_cost),
+                                   float(r2.post_cost), rtol=1e-6,
+                                   atol=1e-9)
+        problem, p_shard = r1.problem, r2.problem
+        trust1, trust2 = r1.trust_radius, r2.trust_radius
+    assert float(r2.post_cost) < 1e-3
+
+
+def test_sharded_cg_with_imu_and_marg():
+    """VI problem with IMU residuals + a marginalization prior through the
+    sharded CG path: must match the single-device CG iteration."""
+    import ba_tpu.io.simulate_vins as sv
+    from ba_tpu.core.problem import BAConfig
+    from ba_tpu.parallel.partition import partition_by_landmark
+    from ba_tpu.solver import window as window_mod
+
+    cfg = BAConfig(pose_dim=9, lm_size=1, use_dogleg=False,
+                   use_cg_solver=True, cg_max_iterations=400,
+                   cg_tolerance=1e-12)
+    sim = sv.simulate(n_poses=12, n_lms=32, seed=2)
+    problem, _, _ = sv.build_problem(sim, cfg, perturb=0.02, seed=3)
+    P_n = int(problem.poses.q.shape[0])
+    problem = window_mod.apply_marginalization(
+        problem, cfg, True, jnp.zeros(P_n, bool).at[0].set(True))
+    problem = partition_by_landmark(problem, cfg, 8)
+    problem = _pad_pose_tables(problem, 8)
+    problem = prepare_landmarks(problem, cfg)
+    mesh = shard.make_mesh(8)
+    p_shard = jax.device_put(
+        problem, shard.problem_shardings(problem, mesh,
+                                         landmark_sharded=True))
+    r1 = step_mod.gn_iteration(problem, cfg, True, 1.0, False)
+    r2 = shard.sharded_gn_iteration_lm(p_shard, cfg, True, mesh)
+    np.testing.assert_allclose(float(r1.pre_cost), float(r2.pre_cost),
+                               rtol=1e-8)
+    # post-costs agree only to (condition x cg_tolerance): the psum
+    # reduction order perturbs the CG iterates on this ill-conditioned
+    # VI+marg system
+    np.testing.assert_allclose(float(r1.post_cost), float(r2.post_cost),
+                               rtol=5e-4)
+    assert float(r2.post_cost) < float(r2.pre_cost)
+
+
+def test_sharded_cg_solve_fixed_converges():
+    from ba_tpu.parallel.partition import partition_by_landmark
+
+    problem, cfg = make_scene(n_poses=8, n_lms=40, perturb=0.02, seed=7)
+    cfg = _cg_cfg(cfg)
+    problem = partition_by_landmark(problem, cfg, 8)
+    problem = _pad_pose_tables(problem, 8)
+    problem = prepare_landmarks(problem, cfg)
+    mesh = shard.make_mesh(8)
+    p_shard = jax.device_put(
+        problem, shard.problem_shardings(problem, mesh,
+                                         landmark_sharded=True))
+    out, costs, _ = shard.sharded_solve_fixed(p_shard, cfg, False, mesh, 8)
+    assert float(costs[-1]) < 1e-4, costs
