@@ -22,11 +22,18 @@ import jax
 
 N_POSES = 128
 N_LMS = 512
-N_ITERS = 10
+# 25 GN iterations per solve — the reference app's canonical call
+# (`slam.Solve(25, 0.2)`, unary_binary_imu_test/main.cpp:283-288).  The
+# whole solve is ONE XLA program; a longer solve also amortizes the
+# per-program dispatch latency of the remote-TPU tunnel (~23 ms flat,
+# measured bench_phases.py) that is absent on directly-attached TPUs.
+N_ITERS = 25
 
 # CPU f32 measurement of the same workload on the 4-core XLA:CPU host (see
-# BASELINE.md; re-measure with `python bench.py --cpu`).
-CPU_BASELINE_KF_S = 300.0
+# BASELINE.md; re-measure with `python bench.py --cpu`).  2026-08-18:
+# banded assembly + 25-iteration solve sped the CPU path up too (was 300
+# at round 1's dense assembly / 10-iteration program).
+CPU_BASELINE_KF_S = 954.7
 
 
 def build():
