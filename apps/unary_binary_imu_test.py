@@ -144,6 +144,13 @@ def main():
         prev_t = t
 
     problem = b.build()
+    # pure odometry chain: band width 2 (consecutive-pose IMU/binary
+    # residuals only) — banded-grid assembly fast path
+    import dataclasses
+
+    from ba_tpu.solver.assemble import band_width_of
+
+    cfg = dataclasses.replace(cfg, band_width=band_width_of(problem))
     problem, summary = step_mod.solve(problem, cfg, max_iter=25,
                                       gn_damping=0.2, use_imu=True)
     print(f"solve: {summary}")

@@ -46,11 +46,17 @@ def main():
     from ba_tpu.solver import window as window_mod
     from ba_tpu.utils import timing
 
+    import dataclasses
+
+    from ba_tpu.solver.assemble import band_width_of
+
     sim = sv.simulate(n_poses=args.poses, n_lms=args.lms, seed=7)
     cfg = BAConfig(pose_dim=9, lm_size=1, use_dogleg=False,
                    error_change_threshold=1e-4, param_change_threshold=1e-6)
     problem, pose_ids, _ = sv.build_problem(sim, cfg, perturb=args.perturb,
                                             seed=8)
+    # banded-grid assembly fast path (host-side, structure is static)
+    cfg = dataclasses.replace(cfg, band_width=band_width_of(problem))
     P = problem.poses.q.shape[0]
 
     p = problem

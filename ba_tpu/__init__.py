@@ -1,6 +1,6 @@
 """ba_tpu — a TPU-native visual-inertial bundle-adjustment engine.
 
-A from-scratch JAX/XLA/Pallas re-design of the capabilities of the reference
+A from-scratch JAX/XLA re-design of the capabilities of the reference
 C++ library (`arpg/ba`): reprojection / pose-prior / IMU-preintegration
 residuals, robust Gauss-Newton and dogleg trust-region solves via
 Schur-complement reduction of the camera-landmark normal equations,
@@ -8,16 +8,31 @@ self-calibration, and sliding-window marginalization — expressed as batched
 dense-block linear algebra on static shapes so XLA can tile it onto the MXU,
 and sharded across device meshes with `shard_map` + collectives.
 
+(A hand-written Pallas reprojection kernel existed through round 2; it only
+matched XLA's fusion of the same math at round 1 and measured 3.8x slower
+than the structured segment-sum assembly that replaced its target, so it
+was retired — see ROADMAP.md.)
+
 Package layout:
   core/       Lie-group math, camera models, problem container, residuals
   solver/     normal-equation assembly, Schur reduction, GN/dogleg stepping
   parallel/   multi-device sharding of residual evaluation + reduction
-  ops/        Pallas TPU kernels for the hot paths
   io/         synthetic data generation (simulate_vins) and log parsing
   utils/      timing/profiling helpers
 """
 
 __version__ = "0.1.0"
+
+# TPU matmuls default to single-pass bf16 inputs, which injects ~1e-3
+# relative error into f32 contractions — enough to make an assembled
+# Gauss-Newton Hessian indefinite (measured: 0.28% error in S and a
+# failed Cholesky on the GPS+IMU app).  This is a numerical-optimization
+# library: f32 means f32.  "highest" lowers f32 matmuls to the exact
+# multi-pass form; the solver is latency-bound, not MXU-bound, so the
+# extra passes are free in practice (see BASELINE.md).
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
 
 # XLA's executable (de)serializer recurses deeply on large programs (e.g. a
 # 200-pose VINS solve) and overflows the default 8MB main-thread stack while

@@ -103,10 +103,6 @@ class BAConfig:
     # (reference BundleAdjuster.h:106, parallel_algos.h:190-205)
     calculate_inertial_covariance_once: bool = False
 
-    # use the fused Pallas reprojection kernel (lm_size==1, no self-calib;
-    # interpret-mode off TPU so the f64 oracle exercises the same math)
-    use_pallas_proj: bool = False
-
     @property
     def vel_in_state(self) -> bool:
         return self.pose_dim >= 9

@@ -105,13 +105,6 @@ def evaluate(problem: Problem, config: BAConfig,
     Invalid/padded rows produce zeros (the gathered indices still point at
     row 0, but `valid` masks the outputs).
     """
-    if (config.use_pallas_proj and with_jacobians and config.lm_size == 1
-            and config.calib_dim == 0
-            and not config.use_per_pose_cam_params):
-        # kernel scope: linear/FOV camera models, rig-owned intrinsics
-        from ...ops.reprojection_pallas import evaluate_pallas
-
-        return evaluate_pallas(problem, config)
     pr = problem.proj
     dtype = pr.z.dtype
     lm_sz = max(config.lm_size, 1)

@@ -98,14 +98,29 @@ def _scatter_blocks(dst, blocks, row0, col0):
     return dst.at[r_idx, c_idx].add(blocks)
 
 
+# one-hot-matmul segment sum pays off below this segment count: the
+# (nseg, n) one-hot runs on the MXU instead of TPU's serialized
+# scatter-add (measured 9% whole-iteration win on the flagship), but its
+# materialization is O(nseg * n) — past ~512 segments the scatter wins.
+_ONEHOT_NSEG_MAX = 512
+
+
 def seg_sum_blocks(vals, ids, nseg):
     """segment_sum of (n, *block) values, flattened to (n, prod(block)).
 
     Measured on TPU v5e: XLA lowers the 2-D form ~7x faster than the same
-    reduction on (n, b1, b2)-shaped operands."""
+    reduction on (n, b1, b2)-shaped operands; small segment counts
+    (per-pose / per-landmark sums) go through a one-hot MXU matmul
+    instead of the scatter.  Out-of-range ids drop their rows in both
+    forms (used for padding)."""
     shape = vals.shape
-    out = jax.ops.segment_sum(vals.reshape(shape[0], -1), ids,
-                              num_segments=nseg)
+    v2 = vals.reshape(shape[0], -1)
+    if nseg <= _ONEHOT_NSEG_MAX:
+        oh = ids[None, :] == jnp.arange(nseg, dtype=ids.dtype)[:, None]
+        out = jnp.dot(oh.astype(v2.dtype), v2,
+                      preferred_element_type=v2.dtype)
+    else:
+        out = jax.ops.segment_sum(v2, ids, num_segments=nseg)
     return out.reshape((nseg,) + shape[1:])
 
 

@@ -362,6 +362,79 @@ def solve_fixed(problem: Problem, config: BAConfig, use_imu: bool,
     return p, costs, dns
 
 
+# OptimizationResult codes for the jitted adaptive loop (reference enum
+# BundleAdjuster.h:38-46); mapped to Summary.result strings in `solve`.
+_RUNNING, _SUCCESS, _ERR_INC, _ERR_CHG, _PARAM_CHG, _FACT_ERR = range(6)
+_RESULT_NAMES = {
+    _RUNNING: "Success",            # stopped at max_iter, still improving
+    _SUCCESS: "Success",
+    _ERR_INC: "ErrorIncreased",
+    _ERR_CHG: "ErrorChangeBelowThreshold",
+    _PARAM_CHG: "ParamChangeBelowThreshold",
+    _FACT_ERR: "FactorizationError",
+}
+
+
+@partial(jax.jit, static_argnames=("config", "use_imu", "gn_damping",
+                                   "error_increase_allowed"))
+def solve_adaptive(problem: Problem, config: BAConfig, use_imu: bool,
+                   max_iter, gn_damping: float = 1.0,
+                   error_increase_allowed: bool = False):
+    """The whole adaptive solve as ONE XLA program: `lax.while_loop` over
+    GN/dogleg iterations with the reference's exit criteria (cpp:648-661)
+    plus the per-family error epilogue (cpp:666-704) — no host round-trip
+    per iteration (a jitted program launch costs ~23 ms through a remote-
+    TPU tunnel; see BASELINE.md).
+
+    Returns (problem, stats) where stats is a dict of scalars:
+    iterations, status code (_RESULT_NAMES), initial/final cost,
+    delta_norm, and the ErrorBreakdown.
+    """
+    from .summary import error_breakdown
+
+    dtype = problem.poses.t.dtype
+    problem = prepare_landmarks(problem, config)
+    trust0 = jnp.asarray(config.trust_region_size, dtype)
+    tiny = jnp.asarray(1e-30, dtype)
+
+    def cond(carry):
+        p, trust, it, status, init_c, post_c, dn = carry
+        return (it < max_iter) & (status == _RUNNING)
+
+    def body(carry):
+        p, trust, it, status, init_c, post_c, dn0 = carry
+        if config.use_dogleg:
+            res = dogleg_iteration(p, config, use_imu, trust)
+            trust_n = res.trust_radius
+        else:
+            res = gn_iteration(p, config, use_imu, gn_damping,
+                               error_increase_allowed)
+            trust_n = trust
+        pre, post, dn = res.pre_cost, res.post_cost, res.delta_norm
+        init_c = jnp.where(it == 0, pre, init_c)
+        rel = jnp.abs(post - pre) / jnp.maximum(pre, tiny)
+        status_n = jnp.where(
+            ~res.solver_ok, _FACT_ERR,
+            jnp.where(~res.accepted, _ERR_INC,
+                      jnp.where((pre > 0)
+                                & (rel < config.error_change_threshold),
+                                _ERR_CHG,
+                                jnp.where(dn < config.param_change_threshold,
+                                          _PARAM_CHG, _RUNNING))))
+        return (res.problem, trust_n, it + 1, status_n, init_c, post, dn)
+
+    carry0 = (problem, trust0, jnp.asarray(0), jnp.asarray(_RUNNING),
+              jnp.zeros((), dtype), jnp.zeros((), dtype),
+              jnp.zeros((), dtype))
+    p, trust, it, status, init_c, post_c, dn = jax.lax.while_loop(
+        cond, body, carry0)
+    eb = error_breakdown(p, config, use_imu)
+    p = finalize_landmarks(p, config)
+    stats = dict(iterations=it, status=status, initial_cost=init_c,
+                 final_cost=post_c, delta_norm=dn, breakdown=eb)
+    return p, stats
+
+
 @dataclass
 class Summary:
     """SolutionSummary analog (reference BundleAdjuster.h:48-70).
@@ -405,9 +478,24 @@ def solve(problem: Problem, config: BAConfig, max_iter: int = 10,
     StreamMessage debug stream, Utils.h:40-43).
 
     Returns (problem, Summary).
+
+    With `verbose == 0` the entire adaptive loop runs as one jitted
+    program (`solve_adaptive`); the host loop below is kept for the
+    per-iteration debug stream.
     """
     if use_imu is None:
         use_imu = bool(jax.device_get(jnp.any(problem.imu.valid)))
+    if not verbose:
+        p, stats = solve_adaptive(problem, config, use_imu, max_iter,
+                                  gn_damping, error_increase_allowed)
+        summary = Summary()
+        summary.iterations = int(stats["iterations"])
+        summary.initial_cost = float(stats["initial_cost"])
+        summary.final_cost = float(stats["final_cost"])
+        summary.delta_norm = float(stats["delta_norm"])
+        summary.result = _RESULT_NAMES[int(stats["status"])]
+        _fill_breakdown(summary, stats["breakdown"])
+        return p, summary
     problem = prepare_landmarks(problem, config)
     summary = Summary()
     trust = jnp.asarray(config.trust_region_size, problem.poses.t.dtype)
@@ -448,6 +536,12 @@ def solve(problem: Problem, config: BAConfig, max_iter: int = 10,
     from .summary import error_breakdown
 
     eb = error_breakdown(problem, config, use_imu)
+    _fill_breakdown(summary, eb)
+    problem = finalize_landmarks(problem, config)
+    return problem, summary
+
+
+def _fill_breakdown(summary: "Summary", eb) -> None:
     summary.proj_error = float(eb.proj_error)
     summary.cond_proj_error = float(eb.cond_proj_error)
     summary.unary_error = float(eb.unary_error)
@@ -458,5 +552,3 @@ def solve(problem: Problem, config: BAConfig, max_iter: int = 10,
     summary.num_cond_proj_residuals = int(eb.num_cond_proj)
     summary.num_imu_residuals = int(eb.num_imu)
     summary.num_cond_imu_residuals = int(eb.num_cond_imu)
-    problem = finalize_landmarks(problem, config)
-    return problem, summary

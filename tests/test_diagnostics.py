@@ -128,3 +128,45 @@ def test_imu_conditioning_edges_exempt_from_robust_reweighting():
     # at least one non-conditioning edge should have been downweighted
     # (perturbed states make IMU errors spread)
     assert (w[2:][np.asarray(problem.imu.valid)[2:]] <= 1.0).all()
+
+
+def test_solve_adaptive_matches_host_loop():
+    """The fully-jitted adaptive solve (one XLA program, lax.while_loop)
+    must reproduce the host-loop path: same iteration count, exit reason,
+    costs, and per-family breakdown."""
+    import io
+    from contextlib import redirect_stdout
+
+    problem, cfg = make_scene(n_poses=8, n_lms=40, perturb=0.03, seed=11)
+    p1, s1 = step_mod.solve(problem, cfg, max_iter=12, use_imu=False,
+                            verbose=0)          # jitted while_loop
+    with redirect_stdout(io.StringIO()):
+        p2, s2 = step_mod.solve(problem, cfg, max_iter=12, use_imu=False,
+                                verbose=1)      # host loop
+    assert s1.result == s2.result
+    assert s1.iterations == s2.iterations
+    # while_loop vs unrolled programs reassociate sums — equal to roundoff
+    np.testing.assert_allclose(s1.final_cost, s2.final_cost, rtol=1e-6,
+                               atol=1e-15)
+    np.testing.assert_allclose(s1.initial_cost, s2.initial_cost, rtol=1e-9)
+    np.testing.assert_allclose(s1.proj_error, s2.proj_error, rtol=1e-6,
+                               atol=1e-15)
+    np.testing.assert_allclose(np.asarray(p1.poses.t),
+                               np.asarray(p2.poses.t), rtol=1e-7,
+                               atol=1e-10)
+
+
+def test_solve_adaptive_dogleg_and_imu():
+    """Adaptive loop under dogleg + IMU residuals converges and reports a
+    good result."""
+    import ba_tpu.io.simulate_vins as sv
+    from ba_tpu.core.problem import BAConfig
+
+    cfg = BAConfig(pose_dim=9, lm_size=1, use_dogleg=True)
+    sim = sv.simulate(n_poses=10, n_lms=30, seed=5)
+    problem, _, _ = sv.build_problem(sim, cfg, perturb=0.02, seed=6)
+    p, s = step_mod.solve(problem, cfg, max_iter=15, use_imu=True,
+                          verbose=0)
+    assert s.is_good, s
+    assert s.final_cost < s.initial_cost * 1e-2, s
+    assert s.num_imu_residuals > 0

@@ -35,12 +35,10 @@ def _project_np(Rws, tws, pw):
     return np.array([fx * factor * xn + cx, fy * factor * yn + cy])
 
 
-def make_stereo_scene(n_poses=4, n_lms=24, seed=0, perturb=0.0,
-                      use_pallas=False):
+def make_stereo_scene(n_poses=4, n_lms=24, seed=0, perturb=0.0):
     rng = np.random.default_rng(seed)
     cfg = BAConfig(pose_dim=6, lm_size=1, use_dogleg=False,
-                   use_robust_norm_for_proj_residuals=False,
-                   use_pallas_proj=use_pallas)
+                   use_robust_norm_for_proj_residuals=False)
     b = ProblemBuilder(cfg)
     cam0 = b.add_camera(FOV, camera.MODEL_FOV)
     cam1 = b.add_camera(FOV, camera.MODEL_FOV,
@@ -156,24 +154,3 @@ def test_stereo_ba_converges():
     assert summary.final_cost < 1e-5, summary
     got = np.asarray(solved.lms.x_w[:24, :3] / solved.lms.x_w[:24, 3:4])
     np.testing.assert_allclose(got, lms_w, atol=1e-3)
-
-
-def test_pallas_kernel_matches_autodiff_stereo():
-    problem, cfg, _, _, _ = make_stereo_scene(n_poses=3, n_lms=16,
-                                              perturb=0.02, seed=4)
-    problem = prepare_landmarks(problem, cfg)
-    ev_ref = reprojection.evaluate(problem, cfg, with_jacobians=True)
-    from ba_tpu.ops.reprojection_pallas import evaluate_pallas
-
-    ev_k = evaluate_pallas(problem, cfg)
-    # tolerances bounded by the kernel's polynomial atan (|err| < 2e-8,
-    # amplified by fx ~ 200) — same as tests/test_pallas_proj.py
-    np.testing.assert_allclose(np.asarray(ev_k.r), np.asarray(ev_ref.r),
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(ev_k.j_meas),
-                               np.asarray(ev_ref.j_meas), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(ev_k.j_ref),
-                               np.asarray(ev_ref.j_ref), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(ev_k.j_lm),
-                               np.asarray(ev_ref.j_lm), atol=1e-4,
-                               rtol=1e-6)
