@@ -173,3 +173,55 @@ class ViCalibrator:
                 import time as _time
 
                 _time.sleep(0.1)
+
+
+# calibu-style model-type names for the XML rig export
+_MODEL_XML_NAMES = {
+    cam_mod.MODEL_LINEAR: "calibu_fu_fv_u0_v0",
+    cam_mod.MODEL_FOV: "calibu_fu_fv_u0_v0_w",
+    cam_mod.MODEL_POLY3: "calibu_fu_fv_u0_v0_k1_k2_k3",
+    cam_mod.MODEL_EQUIDISTANT: "calibu_fu_fv_u0_v0_kb4",
+}
+
+
+def write_camera_models(calibrator: ViCalibrator, filename: str,
+                        width: int = 640, height: int = 480) -> None:
+    """Export the calibrated rig as a calibu-style XML file (the
+    reference's ViCalibrator::WriteCameraModels -> WriteXmlRig,
+    /root/reference/include/ba/ViCalibrator.h:96-110): one <camera> per
+    model with its parameter vector, plus the camera-from-vehicle pose
+    <T_cv> as a quaternion + translation."""
+    import xml.sax.saxutils as sx
+
+    with calibrator._lock:
+        params = np.asarray(calibrator.cam_params, np.float64)
+        model = calibrator.cam_model
+        tvs_q = np.asarray(calibrator.tvs_q, np.float64)
+        tvs_t = np.asarray(calibrator.tvs_t, np.float64)
+
+    n_par = {cam_mod.MODEL_LINEAR: 4, cam_mod.MODEL_FOV: 5,
+             cam_mod.MODEL_POLY3: 7, cam_mod.MODEL_EQUIDISTANT: 8}[model]
+    par = "; ".join(f"{v:.12g}" for v in params[:n_par])
+    # T_cv = T_vs^-1 (the rig stores vehicle-from-sensor)
+    w, x, y, z = tvs_q
+    q_inv = np.array([w, -x, -y, -z])
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+    t_cv = -R.T @ tvs_t
+    qs = "; ".join(f"{v:.12g}" for v in q_inv)
+    ts = "; ".join(f"{v:.12g}" for v in t_cv)
+    with open(filename, "w") as f:
+        f.write('<rig>\n')
+        f.write('  <camera>\n')
+        f.write(f'    <camera_model name="" index="0" serialno="0" '
+                f'type="{sx.escape(_MODEL_XML_NAMES[model])}" '
+                f'version="8">\n')
+        f.write(f'      <width> {width} </width>\n')
+        f.write(f'      <height> {height} </height>\n')
+        f.write(f'      <params> [ {par} ]</params>\n')
+        f.write('    </camera_model>\n')
+        f.write(f'    <pose> [ {qs}; {ts} ] </pose>\n')
+        f.write('  </camera>\n')
+        f.write('</rig>\n')

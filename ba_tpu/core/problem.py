@@ -83,6 +83,14 @@ class BAConfig:
     # dense O(P^3)/O(P^2).  Requires band_width > 0, no calibration block,
     # no marginalization prior (falls back to the dense path otherwise).
     use_banded_solver: bool = False
+    # banded Schur assembly + DENSE Cholesky (solver/banded.py
+    # solve_reduced_banded_dense): the Schur correction is built from the
+    # per-landmark W-block pair tables on the band grid — O(sum_l n_l^2)
+    # small blocks instead of the O((P D)^2 L) dense W V^-1 W^T product
+    # that dominates past ~512 poses — then factorized by one dense
+    # Cholesky.  Requires band_width > 0 and no calibration block
+    # (falls back to the dense path otherwise).
+    schur_on_band: bool = False
 
     # robust norm (projection default True — reference BundleAdjuster.h:103)
     use_robust_norm_for_proj_residuals: bool = True
@@ -494,6 +502,7 @@ class ProblemBuilder:
         self.unary: list[dict] = []
         self.binary: list[dict] = []
         self.imu: list[dict] = []
+        self.manual_masks: dict[int, dict] = {}   # regularize_pose
 
     # -- cameras ---------------------------------------------------------
     def add_camera(self, params, model=cam_mod.MODEL_LINEAR,
@@ -519,6 +528,23 @@ class ProblemBuilder:
                                active=bool(active), time=float(time),
                                cam_params=cp))
         return len(self.poses) - 1
+
+    def regularize_pose(self, pose_id: int, translation: bool = True,
+                        gravity: bool = False, bias: bool = False,
+                        rotation: bool = False) -> None:
+        """Manually fix pose dims (reference RegularizePose, h:608-631):
+        the pose gets an explicit all-optimized mask minus the selected
+        groups, and is exempted from automatic gauge fixing.  `gravity`
+        fixes only the rotation axis most aligned with gravity
+        (GetGravityRegularizationDimension, h:634-652).
+
+        Deviation: the reference's `rotation` branch clears indices
+        {2, 4, 5} — index 2 is translation-z, an apparent transcription
+        bug (quirk family of SURVEY.md §7); here rotation means {3, 4, 5}.
+        """
+        self.manual_masks[int(pose_id)] = dict(
+            translation=bool(translation), gravity=bool(gravity),
+            bias=bool(bias), rotation=bool(rotation))
 
     def add_landmark(self, x_w, ref_pose: int, ref_cam: int = 0,
                      active=True) -> int:
@@ -800,13 +826,29 @@ class ProblemBuilder:
             if not has_any[i]:
                 mask[i, :] = False
 
+        # manual masks (reference RegularizePose, h:608-631): explicit
+        # all-optimized-minus-groups, intersected with the residual-based
+        # trimming above
+        for pid, sel in self.manual_masks.items():
+            if not self.poses[pid]["active"]:
+                continue
+            if sel["translation"]:
+                mask[pid, 0:3] = False
+            if sel["rotation"]:
+                mask[pid, 3:6] = False
+            if sel["gravity"]:
+                mask[pid, self._gravity_axis_dim(pid)] = False
+            if sel["bias"] and cfg.bias_in_state:
+                mask[pid, 9:15] = False
+
         # auto gauge fixing (cpp:1285-1330): when every pose is active and
         # there is no unary prior, fix the root pose translation (+biases,
         # +rotation — fully if no velocity in state, else only the
-        # gravity-aligned axis).
+        # gravity-aligned axis).  A manual mask on the root pose takes
+        # precedence (reference is_param_mask_used, cpp:1285).
         all_active = all(p["active"] for p in self.poses) and n_p > 0
         if (self.config.enable_auto_regularization and all_active
-                and not self.unary):
+                and not self.unary and 0 not in self.manual_masks):
             root = 0
             mask[root, 0:3] = False
             if cfg.bias_in_state and cfg.regularize_biases_in_batch:
@@ -814,22 +856,23 @@ class ProblemBuilder:
             if not cfg.vel_in_state:
                 mask[root, 3:6] = False
             else:
-                # fix the rotation axis most aligned with gravity
-                # (GetGravityRegularizationDimension, h:634-652)
-                q = self.poses[root]["q"]
-                # body z axis in world for each rotation dim: pick argmax of
-                # |R^T g| over the 3 rotation axes
-                w, x, y, z = q
-                R = np.array([
-                    [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
-                     2 * (x * z + w * y)],
-                    [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
-                     2 * (y * z - w * x)],
-                    [2 * (x * z - w * y), 2 * (y * z + w * x),
-                     1 - 2 * (x * x + y * y)]])
-                g_body = R.T @ np.array([0.0, 0.0, -1.0])
-                mask[root, 3 + int(np.argmax(np.abs(g_body)))] = False
+                mask[root, self._gravity_axis_dim(root)] = False
         return mask
+
+    def _gravity_axis_dim(self, pose_id: int) -> int:
+        """Rotation dim most aligned with gravity
+        (GetGravityRegularizationDimension, h:634-652)."""
+        q = self.poses[pose_id]["q"]
+        w, x, y, z = q
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+             2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+             2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x),
+             1 - 2 * (x * x + y * y)]])
+        g_body = R.T @ np.array([0.0, 0.0, -1.0])
+        return 3 + int(np.argmax(np.abs(g_body)))
 
 
 # ---------------------------------------------------------------------------

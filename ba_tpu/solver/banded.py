@@ -207,6 +207,53 @@ def _solve_factored(C, M, b):
     return X.reshape(-1)
 
 
+def solve_reduced_banded_dense(problem: Problem, config: BAConfig,
+                               bs: cg_mod.BlockSystem, P: int, D: int,
+                               marg_H=None) -> GnStep:
+    """Banded S assembly + DENSE Jacobi-scaled Cholesky + matrix-free
+    landmark back-substitution.
+
+    The large-window sweet spot between the plain band path and the
+    chunked O(P) factorization: the Schur correction comes from the
+    per-landmark W-block pair tables (O(sum_l n_l^2) tiny blocks — never
+    the O(N^2 L) dense W V^-1 W^T product that dominates past ~512
+    poses), while the factorization stays one dense Cholesky (exact, no
+    sequential chunk scan).  Mirrors `linear.solve_reduced` numerics.
+    """
+    dtype = bs.rhs_sc.dtype
+    band = band_S(problem, config, bs, P, D)
+    S = band_to_dense_sym(band)
+    if marg_H is not None:
+        S = S + marg_H
+
+    d = jnp.diagonal(S)
+    scal = jax.lax.rsqrt(jnp.maximum(d, 1e-12))
+    Ss = S * scal[:, None] * scal[None, :]
+    eps = jnp.asarray(1e-8 if dtype == jnp.float64 else 1e-4, dtype)
+    Ss = Ss + eps * jnp.eye(S.shape[0], dtype=dtype)
+    c, low = jax.scipy.linalg.cho_factor(Ss, lower=True)
+    ok = jnp.all(jnp.isfinite(jnp.diagonal(c)))
+
+    def scaled_solve(rhs):
+        return jax.scipy.linalg.cho_solve((c, low), rhs * scal) * scal
+
+    rhs_sc = bs.rhs_sc
+    delta_p = scaled_solve(rhs_sc)
+    delta_p = delta_p + scaled_solve(rhs_sc - S @ delta_p)
+    delta_p = jnp.where(jnp.isfinite(delta_p), delta_p, 0.0)
+    delta_p = jnp.where(bs.col_mask, delta_p, 0.0)
+    delta_l = cg_mod.back_substitute_blocks(bs, delta_p, P, D, 0)
+    return GnStep(delta_p=delta_p, delta_l=delta_l, ok=ok)
+
+
+def band_to_dense_sym(band):
+    """(P, B, D, D) band -> dense symmetric (P*D, P*D) (band_to_dense
+    twin; local import keeps the assemble<->banded import graph acyclic)."""
+    from .assemble import band_to_dense
+
+    return band_to_dense(band)
+
+
 def solve_reduced_banded(problem: Problem, config: BAConfig,
                          bs: cg_mod.BlockSystem, P: int, D: int) -> GnStep:
     """Banded S assembly + chunked block-tridiagonal Cholesky + one step of

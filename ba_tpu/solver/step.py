@@ -154,18 +154,26 @@ def _build_and_solve(problem: Problem, config: BAConfig,
     imu_c9 = imu_eval.c9 if imu_eval is not None else None
     from .assemble import dims
     D, K, P, L, lm, N = dims(problem, config)
-    # banded direct solve: needs a band, no calib block, no marg prior
+    # banded direct solve: needs a band, no calib block, no marg prior;
+    # banded-Schur + dense Cholesky additionally allows a marg prior
     # (all static properties -> plain Python gate)
     banded_ok = (config.use_banded_solver and 0 < config.band_width <= P
                  and K == 0 and problem.marg.H.shape[0] != P * D)
-    if config.use_cg_solver or banded_ok:
+    sob_ok = (config.schur_on_band and not banded_ok
+              and 0 < config.band_width <= P and K == 0)
+    if config.use_cg_solver or banded_ok or sob_ok:
         from . import cg as cg_mod
-        bs, marg_H = cg_mod.assemble_blocks(problem, config, imu_eval,
-                                            with_precond=not banded_ok)
+        bs, marg_H = cg_mod.assemble_blocks(
+            problem, config, imu_eval,
+            with_precond=not (banded_ok or sob_ok))
         if banded_ok:
             from . import banded as banded_mod
             step = banded_mod.solve_reduced_banded(problem, config, bs,
                                                    P, D)
+        elif sob_ok:
+            from . import banded as banded_mod
+            step = banded_mod.solve_reduced_banded_dense(
+                problem, config, bs, P, D, marg_H)
         else:
             step = cg_mod.solve_reduced_cg(bs, marg_H, config, P, D, K)
         alpha = cg_mod.cauchy_factor(bs, marg_H, P, D, K)

@@ -36,6 +36,9 @@ def run_one(n_poses, n_lms, solver, n_iters=10):
     elif solver == "bandsolve":
         cfg = dc.replace(cfg, band_width=band_width_of(problem),
                          use_banded_solver=True)
+    elif solver == "sob":
+        cfg = dc.replace(cfg, band_width=band_width_of(problem),
+                         schur_on_band=True)
     if not jax.config.jax_enable_x64:
         problem = jax.tree_util.tree_map(
             lambda a: a.astype(np.float32)

@@ -260,3 +260,57 @@ def test_schur_pair_table_counts():
     # padding wb rows may alias (0, 0); allow exact or -1 for that alias
     assert len(set(zip(sp_i.tolist(), sp_j.tolist()))) == len(sp_i)
     assert len(sp_i) in (want, want - 1)
+
+
+def test_schur_on_band_step_matches_dense():
+    """solve_reduced_banded_dense (banded Schur + dense Cholesky) ==
+    dense-path GnStep (f64, VI problem with masked dims)."""
+    from ba_tpu.solver.step import _build_and_solve
+
+    problem, cfg = _problem(n_poses=28, n_lms=80)
+    mask = np.asarray(problem.poses.mask).copy()
+    mask[5, :6] = False
+    problem = dataclasses.replace(
+        problem, poses=dataclasses.replace(problem.poses,
+                                           mask=jnp.asarray(mask)))
+    cfg_s = dataclasses.replace(cfg, band_width=asm.band_width_of(problem),
+                                schur_on_band=True)
+    d0 = _build_and_solve(problem, cfg, True)
+    d1 = _build_and_solve(problem, cfg_s, True)
+    assert bool(d1.step.ok)
+    np.testing.assert_allclose(np.asarray(d1.step.delta_p),
+                               np.asarray(d0.step.delta_p), rtol=1e-7,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(d1.step.delta_l),
+                               np.asarray(d0.step.delta_l), rtol=1e-7,
+                               atol=1e-9)
+    np.testing.assert_allclose(float(d1.cost), float(d0.cost), rtol=1e-12)
+
+
+def test_schur_on_band_with_marg_prior():
+    """The marg prior (dense, pose dims) is added onto the densified
+    banded S — trajectory must match the dense path."""
+    from ba_tpu.solver import window as window_mod
+
+    problem, cfg = _problem(n_poses=16, n_lms=40)
+    P = int(problem.poses.q.shape[0])
+    problem = window_mod.apply_marginalization(
+        problem, cfg, True, jnp.zeros(P, bool).at[0].set(True))
+    problem = prepare_landmarks(problem, cfg)
+    cfg_s = dataclasses.replace(cfg, band_width=asm.band_width_of(problem),
+                                schur_on_band=True)
+    _, costs0, _ = solve_fixed(problem, cfg, True, 4)
+    _, costs1, _ = solve_fixed(problem, cfg_s, True, 4)
+    np.testing.assert_allclose(np.asarray(costs1), np.asarray(costs0),
+                               rtol=1e-6, atol=1e-12)
+
+
+def test_schur_on_band_trajectory_and_dogleg():
+    problem, cfg = _problem(n_poses=24, n_lms=64)
+    cfg_s = dataclasses.replace(cfg, band_width=asm.band_width_of(problem),
+                                schur_on_band=True, use_dogleg=True)
+    cfg_d = dataclasses.replace(cfg, use_dogleg=True)
+    _, costs0, _ = solve_fixed(problem, cfg_d, True, 4)
+    _, costs1, _ = solve_fixed(problem, cfg_s, True, 4)
+    np.testing.assert_allclose(np.asarray(costs1), np.asarray(costs0),
+                               rtol=1e-6, atol=1e-12)

@@ -170,3 +170,79 @@ def test_solve_adaptive_dogleg_and_imu():
     assert s.is_good, s
     assert s.final_cost < s.initial_cost * 1e-2, s
     assert s.num_imu_residuals > 0
+
+
+def test_regularize_pose_manual_mask():
+    """ProblemBuilder.regularize_pose (reference RegularizePose,
+    h:608-631): explicit per-pose dim fixing, overriding auto gauge
+    fixing on the root."""
+    from ba_tpu.core.camera import MODEL_FOV
+    from ba_tpu.core.problem import ProblemBuilder
+    from tests.test_solver_reprojection import FOV
+
+    cfg = BAConfig(pose_dim=6, lm_size=1,
+                   use_robust_norm_for_proj_residuals=False)
+    b = ProblemBuilder(cfg)
+    cam = b.add_camera(FOV, MODEL_FOV)
+    for i in range(3):
+        b.add_pose((1.0, 0, 0, 0), (float(i), 0, 0))
+    for j in range(4):
+        lm = b.add_landmark((0.5 * j, 0.2, 3.0), ref_pose=0, ref_cam=cam)
+        for i in range(3):
+            b.add_projection_residual((320.0 + j, 240.0 + i), i, lm, cam)
+    b.regularize_pose(1, translation=True, rotation=True)
+    problem = b.build()
+    mask = np.asarray(problem.poses.mask)
+    # manual: pose 1 fully fixed over SE3
+    assert not mask[1, :6].any()
+    # auto gauge fixing skipped for root?  root has no manual mask ->
+    # auto-reg still applies (translation fixed)
+    assert not mask[0, 0:3].any()
+    assert mask[2, :6].all()
+
+    b2 = ProblemBuilder(cfg)
+    cam = b2.add_camera(FOV, MODEL_FOV)
+    for i in range(3):
+        b2.add_pose((1.0, 0, 0, 0), (float(i), 0, 0))
+    for j in range(4):
+        lm = b2.add_landmark((0.5 * j, 0.2, 3.0), ref_pose=0, ref_cam=cam)
+        for i in range(3):
+            b2.add_projection_residual((320.0 + j, 240.0 + i), i, lm, cam)
+    b2.regularize_pose(0, translation=True, rotation=False)
+    p2 = b2.build()
+    m2 = np.asarray(p2.poses.mask)
+    # manual mask on root replaces auto-reg: translation fixed,
+    # rotation left free (auto would also have fixed rotation for
+    # pose_dim=6)
+    assert not m2[0, 0:3].any()
+    assert m2[0, 3:6].all()
+
+
+def test_write_camera_models_xml():
+    """calibu-style XML rig export (reference WriteCameraModels,
+    ViCalibrator.h:96-110) round-trips the parameter vector."""
+    import os
+    import tempfile
+    import xml.etree.ElementTree as ET
+
+    from ba_tpu import calib as calib_mod
+    from ba_tpu.core import camera as cam_mod
+
+    c = calib_mod.ViCalibrator(np.zeros((4, 3)))
+    c.add_camera([200.0, 201.0, 320.0, 240.0, 0.9], cam_mod.MODEL_FOV)
+    c.tvs_q = np.array([1.0, 0, 0, 0])
+    c.tvs_t = np.array([0.1, -0.2, 0.05])
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "cameras.xml")
+        calib_mod.write_camera_models(c, path)
+        root = ET.parse(path).getroot()
+    assert root.tag == "rig"
+    cm = root.find("camera/camera_model")
+    assert cm.get("type") == "calibu_fu_fv_u0_v0_w"
+    vals = [float(v) for v in
+            cm.find("params").text.strip().strip("[]").split(";")]
+    np.testing.assert_allclose(vals, [200.0, 201.0, 320.0, 240.0, 0.9])
+    pose = [float(v) for v in
+            root.find("camera/pose").text.strip().strip("[] ").split(";")]
+    # identity rotation -> t_cv = -t_vs
+    np.testing.assert_allclose(pose[4:], [-0.1, 0.2, -0.05], atol=1e-12)
