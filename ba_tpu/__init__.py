@@ -27,12 +27,14 @@ __version__ = "0.1.0"
 # relative error into f32 contractions — enough to make an assembled
 # Gauss-Newton Hessian indefinite (measured: 0.28% error in S and a
 # failed Cholesky on the GPS+IMU app).  This is a numerical-optimization
-# library: f32 means f32.  "highest" lowers f32 matmuls to the exact
-# multi-pass form; the solver is latency-bound, not MXU-bound, so the
-# extra passes are free in practice (see BASELINE.md).
+# library: f32 means f32.  "high" lowers f32 matmuls to the 3-pass bf16
+# form (~f32-equivalent accuracy, ~1e-6 relative — 100x below the
+# solver's 1e-4 relative damping) at half the MXU cost of the exact
+# 6-pass "highest"; measured on the flagship it is both faster AND
+# converges equally to "highest" (see BASELINE.md).
 import jax as _jax
 
-_jax.config.update("jax_default_matmul_precision", "highest")
+_jax.config.update("jax_default_matmul_precision", "high")
 
 # XLA's executable (de)serializer recurses deeply on large programs (e.g. a
 # 200-pose VINS solve) and overflows the default 8MB main-thread stack while
