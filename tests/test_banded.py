@@ -314,3 +314,55 @@ def test_schur_on_band_trajectory_and_dogleg():
     _, costs1, _ = solve_fixed(problem, cfg_s, True, 4)
     np.testing.assert_allclose(np.asarray(costs1), np.asarray(costs0),
                                rtol=1e-6, atol=1e-12)
+
+
+def test_banded_pose_graph_with_extreme_covariances():
+    """Pose-graph (lm_size=0) banded assembly with a near-singular unary
+    covariance (the GPS app's diag(1,1,30,1e6,1e6,1e6) shape) must match
+    the dense path — the configuration whose TPU bf16-matmul error first
+    surfaced as an indefinite S."""
+    from tests.test_window import _linear_chain
+
+    problem, cfg, _ = _linear_chain(n=10, seed=2)
+    # add a GPS-like loose prior on every pose
+    from ba_tpu.core.problem import ProblemBuilder
+    rng = np.random.default_rng(3)
+    b = ProblemBuilder(cfg)
+    ids = [b.add_pose((1.0, 0, 0, 0), rng.normal(size=3) * 2.0,
+                      active=True, time=float(i)) for i in range(10)]
+    cov = np.diag([1.0, 1.0, 30.0, 1e6, 1e6, 1e6])
+    for i, pid in enumerate(ids):
+        b.add_unary_constraint(pid, (1.0, 0, 0, 0),
+                               np.array([i * 1.0, 0.0, 0.0]), cov=cov)
+    for i in range(9):
+        b.add_binary_constraint(ids[i], ids[i + 1], (1.0, 0, 0, 0),
+                                np.array([1.0, 0, 0]), cov=np.eye(6) * 0.01)
+    problem = b.build()
+    B = asm.band_width_of(problem)
+    assert B == 2
+    cfg_b = dataclasses.replace(cfg, band_width=B)
+    _, costs0, _ = solve_fixed(problem, cfg, False, 6)
+    _, costs1, _ = solve_fixed(problem, cfg_b, False, 6)
+    np.testing.assert_allclose(np.asarray(costs1), np.asarray(costs0),
+                               rtol=1e-7, atol=1e-10)
+    assert float(costs1[-1]) < float(costs1[0])
+
+
+def test_banded_xyz_landmarks():
+    """lm_size=3 (XYZ landmarks): banded assembly + banded direct solve
+    must match the dense path (3-wide V/W blocks through band_S)."""
+    from tests.test_solver_reprojection import make_scene
+
+    problem, cfg = make_scene(n_poses=12, n_lms=40, lm_size=3,
+                              perturb=0.02, seed=5)
+    problem = prepare_landmarks(problem, cfg)
+    B = asm.band_width_of(problem)
+    cfg_b = dataclasses.replace(cfg, band_width=B)
+    cfg_s = dataclasses.replace(cfg_b, use_banded_solver=True)
+    _, costs0, _ = solve_fixed(problem, cfg, False, 5)
+    _, costs1, _ = solve_fixed(problem, cfg_b, False, 5)
+    _, costs2, _ = solve_fixed(problem, cfg_s, False, 5)
+    np.testing.assert_allclose(np.asarray(costs1), np.asarray(costs0),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(costs2), np.asarray(costs0),
+                               rtol=1e-4, atol=1e-8)
