@@ -351,3 +351,25 @@ def test_sharded_cg_solve_fixed_converges():
                                          landmark_sharded=True))
     out, costs, _ = shard.sharded_solve_fixed(p_shard, cfg, False, mesh, 8)
     assert float(costs[-1]) < 1e-4, costs
+
+
+def test_multihost_glue_single_process():
+    """multihost helpers degenerate to the local path in one process: the
+    globally-placed problem must solve identically to device_put."""
+    from ba_tpu.parallel import multihost
+    from ba_tpu.parallel.partition import partition_by_landmark
+
+    multihost.initialize()          # no-op single-process
+    problem, cfg = make_scene(n_poses=8, n_lms=40, perturb=0.02, seed=13)
+    problem = partition_by_landmark(problem, cfg, 8)
+    problem = _pad_pose_tables(problem, 8)
+    problem = prepare_landmarks(problem, cfg)
+    mesh = multihost.make_global_mesh()
+    assert mesh.devices.size >= 8
+
+    mesh8 = shard.make_mesh(8)
+    p_global = multihost.global_problem_from_local(problem, mesh8)
+    r = shard.sharded_gn_iteration_lm(p_global, cfg, False, mesh8)
+    r_ref = step_mod.gn_iteration(problem, cfg, False, 1.0, False)
+    np.testing.assert_allclose(float(r.post_cost), float(r_ref.post_cost),
+                               rtol=1e-6, atol=1e-9)
