@@ -52,3 +52,14 @@ def test_vins_visual_only_converges():
     solved, summary = step_mod.solve(problem, cfg, max_iter=20,
                                      use_imu=False)
     assert summary.final_cost < 1e-3, summary
+
+
+def test_matmul_precision_default_is_high():
+    """The package must pin f32 matmul precision at import: TPU's 1-pass
+    bf16 default makes assembled Hessians indefinite (BASELINE.md)."""
+    import jax
+
+    import ba_tpu  # noqa: F401 — import side effect under test
+
+    assert str(jax.config.jax_default_matmul_precision) in (
+        "high", "Precision.HIGH", "tensorfloat32")
