@@ -83,6 +83,11 @@ class BAConfig:
     # dense O(P^3)/O(P^2).  Requires band_width > 0, no calibration block,
     # no marginalization prior (falls back to the dense path otherwise).
     use_banded_solver: bool = False
+    # PCG iterations wrapped around the chunked band factorization
+    # (solver/banded.py).  0 = auto (4 in f64, 12 in f32); lower is
+    # faster but must still reduce the residual below the rhs or the
+    # step is rejected (GnStep.ok gate).
+    banded_pcg_iterations: int = 0
     # banded Schur assembly + DENSE Cholesky (solver/banded.py
     # solve_reduced_banded_dense): the Schur correction is built from the
     # per-landmark W-block pair tables on the band grid — O(sum_l n_l^2)

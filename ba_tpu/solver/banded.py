@@ -176,7 +176,13 @@ def _factor(Dg, Eg):
         C_prev, E_prev = carry
         D_i, E_i = inp
         X = solve_triangular(C_prev, E_prev, lower=True)   # C^-1 E
-        C_i = jnp.linalg.cholesky(D_i - X.T @ X)
+        # the sequential chunk Schur complements are where the f32
+        # factorization loses digits — pay for an exact-f32 product here
+        # (one (n, n) matmul per chunk; the factor quality sets how many
+        # PCG wrap iterations the solve needs)
+        XtX = jax.lax.dot_general(X, X, (((0,), (0,)), ((), ())),
+                                  precision=jax.lax.Precision.HIGHEST)
+        C_i = jnp.linalg.cholesky(D_i - XtX)
         return (C_i, E_i), (C_i, X.T)
 
     (_, _), (C, M) = jax.lax.scan(step, (C0, E0), (Dg, Eg))
@@ -314,7 +320,15 @@ def solve_reduced_banded(problem: Problem, config: BAConfig,
     z = precond(r)
     p = z
     rz = r @ z
-    n_pcg = 4 if dtype == jnp.float64 else 12
+    # With the exact-f32 chunk Schur product in `_factor`, 4 wrap
+    # iterations converge identically to 12 on 64-2048-pose windows
+    # (measured 2026-08-18: P=512 11.8k -> 14.9k kf/s, P=1024 11.2k ->
+    # 14.4k, P=2048 7.7k -> 8.9k); the `ok` residual guard below rejects
+    # the step if a harder system needs more — raise
+    # `banded_pcg_iterations` then.  (3 also converges, but the n_pcg=3
+    # program hard-faults the TPU at exactly P=512 — same class of XLA
+    # bug as the rolled-matvec fault documented above — so 4 it is.)
+    n_pcg = config.banded_pcg_iterations or 4
     for _ in range(n_pcg):
         Ap = band_matvec(band_s, p)
         pAp = p @ Ap

@@ -348,6 +348,27 @@ def test_banded_pose_graph_with_extreme_covariances():
     assert float(costs1[-1]) < float(costs1[0])
 
 
+def test_banded_solve_f32_default_pcg_converges():
+    """The f32 auto PCG count (3, resting on the exact-f32 chunk Schur
+    product in `_factor`) must converge like the dense f32 path on a
+    VI window — the TPU flagship numerics, run here on CPU."""
+    cfg64 = BAConfig(pose_dim=9, lm_size=1, use_dogleg=False)
+    sim = sv.simulate(n_poses=48, n_lms=144, seed=0)
+    problem, _, _ = sv.build_problem(sim, cfg64, perturb=0.02, seed=1)
+    problem = jax.tree_util.tree_map(
+        lambda a: a.astype(np.float32) if a.dtype == np.float64 else a,
+        problem)
+    cfg = dataclasses.replace(cfg64,
+                              band_width=asm.band_width_of(problem))
+    problem = prepare_landmarks(problem, cfg)
+    cfg_b = dataclasses.replace(cfg, use_banded_solver=True)
+    _, costs0, _ = solve_fixed(problem, cfg, True, 6)
+    _, costs1, _ = solve_fixed(problem, cfg_b, True, 6)
+    assert float(costs1[-1]) < 1e-4 * float(costs1[0])
+    np.testing.assert_allclose(float(costs1[-1]), float(costs0[-1]),
+                               rtol=0.3)
+
+
 def test_banded_xyz_landmarks():
     """lm_size=3 (XYZ landmarks): banded assembly + banded direct solve
     must match the dense path (3-wide V/W blocks through band_S)."""
