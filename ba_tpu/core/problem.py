@@ -472,6 +472,14 @@ class Problem:
     pidx: ProblemIndex     # block-structured assembly sparsity tables
 
 
+def stack_problems(problems) -> Problem:
+    """Stack same-shape problems along a new leading fleet axis.
+
+    All problems must share padded shapes (same size bucket); the result
+    feeds `solver.step.solve_fleet`, which vmaps the solver over the axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *problems)
+
+
 # ---------------------------------------------------------------------------
 # Host-side builder (numpy; the Add* API of the reference)
 # ---------------------------------------------------------------------------

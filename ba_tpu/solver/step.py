@@ -370,6 +370,27 @@ def solve_fixed(problem: Problem, config: BAConfig, use_imu: bool,
     return p, costs, dns
 
 
+@partial(jax.jit, static_argnames=("config", "use_imu", "n_iters",
+                                   "gn_damping"))
+def solve_fleet(problems: Problem, config: BAConfig, use_imu: bool,
+                n_iters: int, gn_damping: float = 1.0):
+    """Batched multi-window solve: `solve_fixed` vmapped over a leading
+    fleet axis (see `core.problem.stack_problems`).
+
+    The TPU-idiomatic throughput lever for serving: a single 128-keyframe
+    window iteration moves only ~80 MB / 89 MFLOP (roofline, BASELINE.md)
+    and is dispatch-latency-bound on the chip, so independent sliding
+    windows — e.g. one per vehicle — are batched into ONE XLA program,
+    amortizing every kernel launch across the fleet.  No reference analog:
+    the reference is single-problem single-node (SURVEY.md §2.4); its TBB
+    parallelism is *within* one problem only.
+
+    Returns per-window (problems, costs (B, n_iters), delta_norms)."""
+    return jax.vmap(
+        lambda p: solve_fixed(p, config, use_imu, n_iters, gn_damping)
+    )(problems)
+
+
 # OptimizationResult codes for the jitted adaptive loop (reference enum
 # BundleAdjuster.h:38-46); mapped to Summary.result strings in `solve`.
 _RUNNING, _SUCCESS, _ERR_INC, _ERR_CHG, _PARAM_CHG, _FACT_ERR = range(6)

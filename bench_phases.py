@@ -100,6 +100,48 @@ def main():
     for name, ms in rows:
         print(f"  {name:28s} {ms:8.3f} ms")
 
+    roofline(problem, cfg, solve_fixed)
+
+
+# Peak numbers for roofline normalization.  MFU uses the bf16 MXU peak
+# (the standard convention); the library's default f32 matmul is 3-pass
+# bf16, so its speed-of-light is peak/3 on matmul FLOPs.
+_PEAKS = {  # device_kind prefix -> (TFLOP/s bf16, HBM GB/s)
+    "TPU v5 lite": (197.0, 819.0),
+    "TPU v5e": (197.0, 819.0),
+    "TPU v5p": (459.0, 2765.0),
+    "TPU v4": (275.0, 1228.0),
+    "TPU v6": (918.0, 1640.0),
+}
+
+
+def roofline(problem, cfg, solve_fixed, n_iters=25):
+    """XLA-reported FLOPs/bytes of the whole 25-iteration solve program vs
+    the chip's peak — the speed-of-light accounting SURVEY §5.1 calls for
+    (the reference only has wall-clock spans, Utils.h:51-62)."""
+    fn = jax.jit(lambda p: solve_fixed(p, cfg, True, n_iters)[1])
+    compiled = fn.lower(problem).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops = ca.get("flops", 0.0)
+    byts = ca.get("bytes accessed", 0.0)
+    ms = timeit(fn, problem, reps=5)
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in _PEAKS.items() if kind.startswith(k)), None)
+    tflops = flops / ms / 1e9
+    gbs = byts / ms / 1e6
+    print(f"\nroofline ({n_iters}-iteration solve, XLA cost analysis, "
+          f"device={kind!r}):")
+    print(f"  model FLOPs {flops / 1e9:.3f} G   bytes {byts / 1e6:.1f} MB  "
+          f" arith intensity {flops / max(byts, 1):.1f} flop/B")
+    print(f"  achieved {tflops:.2f} TFLOP/s, {gbs:.0f} GB/s over {ms:.1f} ms")
+    if peak:
+        print(f"  MFU {100 * tflops / peak[0]:.1f}% of bf16 peak "
+              f"({100 * 3 * tflops / peak[0]:.1f}% counting 3-pass-bf16 "
+              f"f32 passes), HBM {100 * gbs / peak[1]:.1f}% of "
+              f"{peak[1]:.0f} GB/s")
+
 
 if __name__ == "__main__":
     main()
