@@ -246,3 +246,28 @@ def test_write_camera_models_xml():
             root.find("camera/pose").text.strip().strip("[] ").split(";")]
     # identity rotation -> t_cv = -t_vs
     np.testing.assert_allclose(pose[4:], [-0.1, 0.2, -0.05], atol=1e-12)
+
+
+def test_gn_rollback_on_error_increase():
+    """A cost-increasing damped step must be rejected and leave the problem
+    untouched (reference snapshot/restore, BundleAdjuster.cpp:1096-1149),
+    unless error_increase_allowed (Solve's third arg) is set."""
+    problem, cfg = make_scene(n_poses=6, n_lms=24, perturb=0.01)
+    problem = prepare_landmarks(problem, cfg)
+    # near the optimum a 3x-overshoot GN step increases the cost
+    problem, _, _ = step_mod.solve_fixed(problem, cfg, False, 6)
+
+    res = step_mod.gn_iteration(problem, cfg, False, 3.0, False)
+    assert not bool(res.accepted)
+    assert float(res.post_cost) == float(res.pre_cost)  # reported rollback
+    np.testing.assert_array_equal(np.asarray(res.problem.poses.t),
+                                  np.asarray(problem.poses.t))
+    np.testing.assert_array_equal(np.asarray(res.problem.lms.x),
+                                  np.asarray(problem.lms.x))
+    assert float(res.delta_norm) == 0.0
+
+    allowed = step_mod.gn_iteration(problem, cfg, False, 3.0, True)
+    assert bool(allowed.accepted)
+    assert float(allowed.post_cost) > float(allowed.pre_cost)
+    assert not np.array_equal(np.asarray(allowed.problem.poses.t),
+                              np.asarray(problem.poses.t))
