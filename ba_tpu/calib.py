@@ -91,15 +91,24 @@ class ViCalibrator:
         # Without IMU terms, T_vs is a pure 6-dof gauge (T_wv g, g^-1 T_vs
         # leaves every observed T_ws invariant) — so the extrinsic only
         # enters the problem once inertial residuals pin the vehicle frame,
-        # mirroring the reference's staged activation (ViCalibrator.h:435-450;
-        # rotation-vs-translation sub-staging is folded into one stage here).
+        # mirroring the reference's staged activation (ViCalibrator.h:435-450).
+        #
+        # Stage 0 is the reference's rotation-only mode: inertial residuals
+        # with the translation/velocity rows switched off
+        # (SwitchedFullImuCostFunction, CeresCostFunctions.h:274-345) and
+        # the T_vs translation held constant — the gyro pins the vehicle
+        # orientation so the extrinsic *rotation* converges first.
         has_imu = len(imu) > 2
-        use_imu = has_imu and stage >= STAGE_TRANSLATION
+        use_imu = has_imu
         do_tvs = use_imu
+        rotation_only = use_imu and stage == STAGE_ROTATION
         pose_dim = 15 if (use_imu and stage >= STAGE_BIASES) else \
             (9 if use_imu else 6)
         cfg = BAConfig(pose_dim=pose_dim, lm_size=3, calib_size=5,
                        do_tvs=do_tvs, use_dogleg=True,
+                       imu_rotation_only=rotation_only,
+                       tvs_translation_staging=rotation_only,
+                       tvs_translation_active=not rotation_only,
                        enable_auto_regularization=False,
                        error_change_threshold=1e-6,
                        param_change_threshold=1e-8)
@@ -166,13 +175,23 @@ class ViCalibrator:
             self._thread = None
 
     def _solve_loop(self):
+        import logging
+        import time as _time
+
+        log = logging.getLogger(__name__)
+        failures = 0
         while self._run:
             try:
                 self.solve_once()
+                failures = 0
             except Exception:  # keep the service alive on transient errors
-                import time as _time
-
-                _time.sleep(0.1)
+                # but never silently: log every failure (the reference logs
+                # through glog, ViCalibrator.h:253-254) and back off
+                # progressively so a persistent fault can't spin the core
+                failures += 1
+                log.exception("calibration solve failed (%d consecutive)",
+                              failures)
+                _time.sleep(min(0.1 * failures, 2.0))
 
 
 # calibu-style model-type names for the XML rig export

@@ -49,6 +49,14 @@ class BAConfig:
     lm_size: int = 1           # 0 (pose graph) | 1 (inverse depth) | 3 (XYZ)
     calib_size: int = 0        # 0 | 5 (camera intrinsics)
     do_tvs: bool = False       # optimize camera-from-vehicle extrinsics
+    # staged Tvs activation (reference translation_enabled_,
+    # src/BundleAdjuster.cpp:257-271): with staging on, the Tvs
+    # *translation* tangent dims stay frozen until the extrinsic rotation
+    # stabilizes (se3-log diff < 0.01 between consecutive builds, >= 30
+    # poses) — `solver.step.solve` carries the state across iterations and
+    # flips `tvs_translation_active`
+    tvs_translation_staging: bool = False
+    tvs_translation_active: bool = True
     # evaluate projections with each measuring pose's own (frozen)
     # intrinsics instead of the rig camera's (reference h:96: AddPose
     # stores pose.cam_params, cpp:163-175 swaps them in per residual)
@@ -88,6 +96,13 @@ class BAConfig:
     # faster but must still reduce the residual below the rhs or the
     # step is rejected (GnStep.ok gate).
     banded_pcg_iterations: int = 0
+    # fleet layout (concat_problems): the pose axis is F independent
+    # equal-length windows back to back.  The banded solver exploits it by
+    # batching the chunked block-tridiagonal factorization ACROSS windows
+    # (the chunk scan runs P/F/chunk sequential steps of F-batched MXU ops
+    # instead of P/chunk rank-1 steps) — sequential depth stays that of ONE
+    # window no matter the fleet size.  1 = single window.
+    fleet_size: int = 1
     # banded Schur assembly + DENSE Cholesky (solver/banded.py
     # solve_reduced_banded_dense): the Schur correction is built from the
     # per-landmark W-block pair tables on the band grid — O(sum_l n_l^2)
@@ -115,6 +130,20 @@ class BAConfig:
     # freeze the IMU integration covariance after the first build
     # (reference BundleAdjuster.h:106, parallel_algos.h:190-205)
     calculate_inertial_covariance_once: bool = False
+
+    # rotation-only switched inertial residuals (reference
+    # SwitchedFullImuCostFunction, CeresCostFunctions.h:274-345): zero the
+    # whitened translation (rows 0:3) and velocity (rows 6:9) residual/
+    # Jacobian rows, keeping only the gyro rotation information — the
+    # ViCalibrator stage-0 mode (ViCalibrator.h:435-450)
+    imu_rotation_only: bool = False
+
+    # calibration observability (reference Options, BundleAdjuster.h:92-99):
+    # fill Summary.calibration_marginals by unit-vector solves of the
+    # reduced system (cpp:771-785), and/or dump the reduced camera system
+    # as text files to this directory (cpp:600-627; "" = off)
+    calculate_calibration_marginals: bool = False
+    write_reduced_camera_matrix: str = ""
 
     @property
     def vel_in_state(self) -> bool:
@@ -480,6 +509,180 @@ def stack_problems(problems) -> Problem:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *problems)
 
 
+def concat_problems(problems, config: BAConfig) -> Problem:
+    """Fuse B independent windows into ONE block-diagonal problem.
+
+    The natively-batched fleet layout (no vmap): poses/landmarks/cameras of
+    each window are concatenated with offset ids and the sparsity tables
+    are re-enumerated, so the whole fleet solves as a single program whose
+    segment sums, gathers and band grid are plain rank-1 ops — vmap's
+    batched gathers/scatters and batched Cholesky measurably lose
+    (BASELINE.md fleet table); this layout is how a fleet of B windows
+    rides the same O(P) banded machinery as one long trajectory.
+
+    Windows must not carry an active dense marginalization prior (the
+    fused prior would be O((B P D)^2)); build with `with_marg_prior=False`
+    or marginalize per-window before fusing.  No reference analog: the
+    reference is single-problem single-node (SURVEY.md §2.4).
+
+    Returns the fused Problem; per-window results can be split back by
+    pose/landmark offsets (`B * P_i` slices).
+    """
+    import numpy as np
+
+    if not problems:
+        raise ValueError("concat_problems needs at least one problem")
+    dtype = np.asarray(problems[0].poses.t).dtype
+
+    for p in problems:
+        if bool(np.asarray(p.marg.active)):
+            raise ValueError("concat_problems: active marginalization "
+                             "priors are per-window state; marginalize "
+                             "before fusing")
+    g0 = np.asarray(problems[0].g_vec)
+    for p in problems[1:]:
+        if not np.allclose(np.asarray(p.g_vec), g0):
+            raise ValueError("concat_problems: gravity vectors differ")
+
+    def np_of(x):
+        return np.asarray(x)
+
+    pose_off, lm_off, cam_off = [], [], []
+    po = lo = co = 0
+    for p in problems:
+        pose_off.append(po)
+        lm_off.append(lo)
+        cam_off.append(co)
+        po += p.poses.q.shape[0]
+        lo += p.lms.x.shape[0]
+        co += p.rig.params.shape[0]
+    P, L, C = po, lo, co
+
+    def cat(get, off=None, off_list=None):
+        parts = []
+        for i, p in enumerate(problems):
+            a = np_of(get(p))
+            if off_list is not None:
+                a = a + off_list[i]
+            parts.append(a)
+        return np.concatenate(parts, axis=0)
+
+    poses = PoseStates(
+        q=jnp.asarray(cat(lambda p: p.poses.q)),
+        t=jnp.asarray(cat(lambda p: p.poses.t)),
+        v=jnp.asarray(cat(lambda p: p.poses.v)),
+        b=jnp.asarray(cat(lambda p: p.poses.b)),
+        time=jnp.asarray(cat(lambda p: p.poses.time)),
+        active=jnp.asarray(cat(lambda p: p.poses.active)),
+        mask=jnp.asarray(cat(lambda p: p.poses.mask)),
+        cam_params=jnp.asarray(cat(lambda p: p.poses.cam_params)))
+    lms = LandmarkStates(
+        x=jnp.asarray(cat(lambda p: p.lms.x)),
+        x_w=jnp.asarray(cat(lambda p: p.lms.x_w)),
+        ref_pose=jnp.asarray(cat(lambda p: p.lms.ref_pose,
+                                 off_list=pose_off).astype(np.int32)),
+        ref_cam=jnp.asarray(cat(lambda p: p.lms.ref_cam,
+                                off_list=cam_off).astype(np.int32)),
+        active=jnp.asarray(cat(lambda p: p.lms.active)),
+        reliable=jnp.asarray(cat(lambda p: p.lms.reliable)),
+        z_ref=jnp.asarray(cat(lambda p: p.lms.z_ref)),
+        has_z_ref=jnp.asarray(cat(lambda p: p.lms.has_z_ref)))
+    rig = Rig(params=jnp.asarray(cat(lambda p: p.rig.params)),
+              model=jnp.asarray(cat(lambda p: p.rig.model)),
+              tvs_q=jnp.asarray(cat(lambda p: p.rig.tvs_q)),
+              tvs_t=jnp.asarray(cat(lambda p: p.rig.tvs_t)))
+
+    proj_pose = cat(lambda p: p.proj.pose, off_list=pose_off).astype(
+        np.int64)
+    proj_lm = cat(lambda p: p.proj.lm, off_list=lm_off).astype(np.int64)
+    proj_valid = cat(lambda p: p.proj.valid)
+    lm_ref_np = np_of(lms.ref_pose)
+    proj_ref = lm_ref_np[proj_lm]
+    b1 = cat(lambda p: p.binary.pose1, off_list=pose_off).astype(np.int64)
+    b2 = cat(lambda p: p.binary.pose2, off_list=pose_off).astype(np.int64)
+    b_valid = cat(lambda p: p.binary.valid)
+    i1 = cat(lambda p: p.imu.pose1, off_list=pose_off).astype(np.int64)
+    i2 = cat(lambda p: p.imu.pose2, off_list=pose_off).astype(np.int64)
+    i_valid = cat(lambda p: p.imu.valid)
+    per_row, pidx = build_structure_index(
+        proj_pose, proj_ref, proj_lm, proj_valid,
+        b1, b2, b_valid, i1, i2, i_valid, P, L)
+
+    proj = ProjResiduals(
+        z=jnp.asarray(cat(lambda p: p.proj.z)),
+        pose=jnp.asarray(proj_pose.astype(np.int32)),
+        lm=jnp.asarray(proj_lm.astype(np.int32)),
+        cam=jnp.asarray(cat(lambda p: p.proj.cam,
+                            off_list=cam_off).astype(np.int32)),
+        weight=jnp.asarray(cat(lambda p: p.proj.weight)),
+        valid=jnp.asarray(proj_valid),
+        cond=jnp.asarray(cat(lambda p: p.proj.cond)),
+        pair=jnp.asarray(per_row["pair"]),
+        pair_swap=jnp.asarray(per_row["pair_swap"]),
+        wb_meas=jnp.asarray(per_row["wb_meas"]),
+        wb_ref=jnp.asarray(per_row["wb_ref"]))
+    unary = UnaryResiduals(
+        pose=jnp.asarray(cat(lambda p: p.unary.pose,
+                             off_list=pose_off).astype(np.int32)),
+        q=jnp.asarray(cat(lambda p: p.unary.q)),
+        t=jnp.asarray(cat(lambda p: p.unary.t)),
+        cov_inv=jnp.asarray(cat(lambda p: p.unary.cov_inv)),
+        valid=jnp.asarray(cat(lambda p: p.unary.valid)))
+    binary = BinaryResiduals(
+        pose1=jnp.asarray(b1.astype(np.int32)),
+        pose2=jnp.asarray(b2.astype(np.int32)),
+        q=jnp.asarray(cat(lambda p: p.binary.q)),
+        t=jnp.asarray(cat(lambda p: p.binary.t)),
+        cov_inv=jnp.asarray(cat(lambda p: p.binary.cov_inv)),
+        valid=jnp.asarray(b_valid),
+        pair=jnp.asarray(per_row["bpair"]),
+        pair_swap=jnp.asarray(per_row["bswap"]))
+
+    M = max(p.imu.w.shape[1] for p in problems)
+
+    def cat_imu(get):
+        parts = []
+        for p in problems:
+            a = np_of(get(p))
+            if a.shape[1] < M:
+                pad = [(0, 0), (0, M - a.shape[1])] + \
+                    [(0, 0)] * (a.ndim - 2)
+                if a.dtype == np.bool_:
+                    a = np.pad(a, pad, constant_values=False)
+                elif a.ndim == 2:
+                    # times: repeat the last timestamp so dt = 0 on padding
+                    a = np.concatenate(
+                        [a, np.repeat(a[:, -1:], M - a.shape[1], 1)], 1)
+                else:
+                    a = np.pad(a, pad)
+            parts.append(a)
+        return np.concatenate(parts, axis=0)
+
+    imu = ImuResiduals(
+        pose1=jnp.asarray(i1.astype(np.int32)),
+        pose2=jnp.asarray(i2.astype(np.int32)),
+        w=jnp.asarray(cat_imu(lambda p: p.imu.w)),
+        a=jnp.asarray(cat_imu(lambda p: p.imu.a)),
+        time=jnp.asarray(cat_imu(lambda p: p.imu.time)),
+        meas_valid=jnp.asarray(cat_imu(lambda p: p.imu.meas_valid)),
+        weight=jnp.asarray(cat(lambda p: p.imu.weight)),
+        valid=jnp.asarray(i_valid),
+        cond=jnp.asarray(cat(lambda p: p.imu.cond)),
+        pair=jnp.asarray(per_row["ipair"]),
+        pair_swap=jnp.asarray(per_row["iswap"]),
+        c9=jnp.asarray(cat(lambda p: p.imu.c9)),
+        c9_set=jnp.zeros((), bool))
+
+    marg = empty_marg_prior(P, config.pose_dim, poses.t.dtype,
+                            enabled=False)
+    marg = dataclasses.replace(marg, lin_q=poses.q, lin_t=poses.t,
+                               lin_v=poses.v, lin_b=poses.b)
+    return Problem(poses=poses, lms=lms, rig=rig, proj=proj, unary=unary,
+                   binary=binary, imu=imu,
+                   g_vec=jnp.asarray(g0.astype(dtype)), marg=marg,
+                   pidx=pidx)
+
+
 # ---------------------------------------------------------------------------
 # Host-side builder (numpy; the Add* API of the reference)
 # ---------------------------------------------------------------------------
@@ -516,6 +719,12 @@ class ProblemBuilder:
         self.binary: list[dict] = []
         self.imu: list[dict] = []
         self.manual_masks: dict[int, dict] = {}   # regularize_pose
+        self.gravity_vec: Optional[np.ndarray] = None
+
+    def set_gravity(self, g_vec) -> None:
+        """Explicit world gravity vector (reference SetGravity, h:254-257);
+        default is (0, 0, -config.gravity)."""
+        self.gravity_vec = np.asarray(g_vec, self.dtype)
 
     # -- cameras ---------------------------------------------------------
     def add_camera(self, params, model=cam_mod.MODEL_LINEAR,
@@ -792,7 +1001,8 @@ class ProblemBuilder:
             c9_set=jnp.zeros((), bool),
         )
 
-        g = np.array([0.0, 0.0, -self.config.gravity], dt)
+        g = (np.asarray(self.gravity_vec, dt) if self.gravity_vec is not None
+             else np.array([0.0, 0.0, -self.config.gravity], dt))
         marg = empty_marg_prior(P, self.config.pose_dim, poses.t.dtype,
                                 enabled=with_marg_prior)
         marg = dataclasses.replace(marg, lin_q=poses.q, lin_t=poses.t,

@@ -361,6 +361,12 @@ def _whiten_pack(problem, config, r, j1, j2, S, with_jacobians,
     valid = im.valid
     rw = jnp.einsum("nij,nj->ni", S, r)
     rw = jnp.where(valid[:, None], rw, 0.0)
+    if config.imu_rotation_only:
+        # switched rotation-only mode (reference SwitchedFullImuCostFunction,
+        # CeresCostFunctions.h:335-338): zero the whitened translation and
+        # velocity (and bias) rows, keeping rows 3:6 (rotation)
+        keep = (jnp.arange(res_dim) >= 3) & (jnp.arange(res_dim) < 6)
+        rw = rw * keep.astype(dtype)[None, :]
     err_sq = jnp.sum(rw * rw, axis=-1)  # == r^T (w * cov_inv) r
     if not with_jacobians:
         zj = jnp.zeros((Ni, res_dim, D), dtype)
@@ -369,4 +375,8 @@ def _whiten_pack(problem, config, r, j1, j2, S, with_jacobians,
     j2 = jnp.where(valid[:, None, None], j2, 0.0)
     j1w = jnp.einsum("nij,njk->nik", S, j1)
     j2w = jnp.einsum("nij,njk->nik", S, j2)
+    if config.imu_rotation_only:
+        keep_c = keep.astype(dtype)[None, :, None]
+        j1w = j1w * keep_c
+        j2w = j2w * keep_c
     return ImuEval(rw, j1w, j2w, err_sq, y_t, y_v, c9)

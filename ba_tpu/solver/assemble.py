@@ -85,7 +85,14 @@ def col_mask(problem: Problem, config: BAConfig, width=None) -> jax.Array:
     pm = problem.poses.mask[:, :D] & problem.poses.active[:, None]
     m = pm.reshape(-1)
     if config.calib_dim:
-        m = jnp.concatenate([m, jnp.ones((config.calib_dim,), bool)])
+        cm = jnp.ones((config.calib_dim,), bool)
+        if (config.do_tvs and config.tvs_translation_staging
+                and not config.tvs_translation_active):
+            # staged Tvs: translation tangent dims frozen until the
+            # extrinsic stabilizes (reference translation_enabled_,
+            # cpp:257-271); se3 tangent order is [t(3), w(3)]
+            cm = cm.at[config.tvs_offset: config.tvs_offset + 3].set(False)
+        m = jnp.concatenate([m, cm])
     return m
 
 

@@ -260,6 +260,21 @@ def band_to_dense_sym(band):
     return band_to_dense(band)
 
 
+def _effective_pcg_iters(n_config: int, backend: str) -> int:
+    """PCG wrap count for the chunked band factorization.
+
+    0 = auto (4: with the exact-f32 chunk Schur product in `_factor`, 4
+    iterations converge identically to 12 on 64-2048-pose windows).
+    KNOWN FAULT (ROADMAP item 2 / BASELINE.md): the n_pcg=3 program
+    hard-faults the TPU at exactly P=512 (same XLA bug class as the rolled
+    banded-matvec fault) — the clamp below pins the workaround so a config
+    can never resurrect it; tests/test_banded.py guards it."""
+    n = n_config or 4
+    if n == 3 and backend == "tpu":
+        n = 4
+    return n
+
+
 def solve_reduced_banded(problem: Problem, config: BAConfig,
                          bs: cg_mod.BlockSystem, P: int, D: int) -> GnStep:
     """Banded S assembly + chunked block-tridiagonal Cholesky + one step of
@@ -281,19 +296,27 @@ def solve_reduced_banded(problem: Problem, config: BAConfig,
     eps = jnp.asarray(1e-8 if dtype == jnp.float64 else 1e-4, dtype)
     band_s = band_s.at[:, 0].add(eps * jnp.eye(D, dtype=dtype)[None])
 
-    # chunk size >= B makes the system block-tridiagonal in chunks; pad the
-    # trajectory with identity diagonal blocks
-    chunk = max(B, min(P, 16))
-    n_c = -(-P // chunk)
-    Pp = n_c * chunk
-    if Pp > P:
-        band_p = jnp.zeros((Pp, B, D, D), dtype)
-        band_p = band_p.at[:P].set(band_s)
-        band_p = band_p.at[P:, 0].set(jnp.eye(D, dtype=dtype))
-        band_s = band_p
+    # fleet layout: F independent equal windows back to back — batch the
+    # factorization across windows so sequential depth stays one window's
+    F = config.fleet_size if (config.fleet_size > 1
+                              and P % config.fleet_size == 0) else 1
+    P_w = P // F
 
-    Dg, Eg = _chunk_windows(band_s, chunk)
-    C, M, ok = _factor(Dg, Eg)
+    # chunk size >= B makes the system block-tridiagonal in chunks; pad
+    # each window with identity diagonal blocks
+    chunk = max(B, min(P_w, 16))
+    n_c = -(-P_w // chunk)
+    Pp_w = n_c * chunk
+    bandF = band_s.reshape(F, P_w, B, D, D)
+    if Pp_w > P_w:
+        band_p = jnp.zeros((F, Pp_w, B, D, D), dtype)
+        band_p = band_p.at[:, :P_w].set(bandF)
+        band_p = band_p.at[:, P_w:, 0].set(jnp.eye(D, dtype=dtype))
+        bandF = band_p
+
+    Dg, Eg = jax.vmap(lambda b_: _chunk_windows(b_, chunk))(bandF)
+    C, M, okF = jax.vmap(_factor)(Dg, Eg)     # (F, n_c, n, n) factors
+    ok = jnp.all(okF)
 
     # The chunked block-tridiagonal Cholesky is an EXACT factorization of
     # the band (coupling never reaches past the next chunk when
@@ -308,13 +331,20 @@ def solve_reduced_banded(problem: Problem, config: BAConfig,
     # in a `fori_loop`/`while_loop` nested inside the outer solve scan
     # hard-faults the TPU at P >= 512 (XLA bug — the unrolled forms
     # compile and run fine).
-    # Solve in the padded space (padded poses have identity diagonal and
-    # zero rhs, so their components stay exactly zero).
+    # The PCG runs in the UNPADDED fused space (band_matvec over the whole
+    # band — cross-window blocks are structurally zero); the factored
+    # preconditioner solve pads each window, solves all windows batched,
+    # and unpads (padded poses have identity diagonal and zero rhs, so
+    # their components stay exactly zero).
     def precond(r):
-        return _solve_factored(C, M, r.reshape(n_c, chunk * D))
+        rF = r.reshape(F, P_w * D)
+        rF = jnp.pad(rF, ((0, 0), (0, (Pp_w - P_w) * D)))
+        z = jax.vmap(lambda Ci, Mi, bi:
+                     _solve_factored(Ci, Mi, bi.reshape(n_c, chunk * D)))(
+                         C, M, rF)
+        return z[:, : P_w * D].reshape(-1)
 
-    b = jnp.concatenate([rhs_sc * scal.reshape(-1),
-                         jnp.zeros((Pp * D - P * D,), dtype)])
+    b = rhs_sc * scal.reshape(-1)
     x = jnp.zeros_like(b)
     r = b
     z = precond(r)
@@ -328,18 +358,30 @@ def solve_reduced_banded(problem: Problem, config: BAConfig,
     # `banded_pcg_iterations` then.  (3 also converges, but the n_pcg=3
     # program hard-faults the TPU at exactly P=512 — same class of XLA
     # bug as the rolled-matvec fault documented above — so 4 it is.)
-    n_pcg = config.banded_pcg_iterations or 4
+    n_pcg = _effective_pcg_iters(config.banded_pcg_iterations,
+                                 jax.default_backend())
+    # residual-based early-stop: once ||r|| has dropped below rel_tol of
+    # ||b|| further iterations are masked no-ops (alpha = 0), so a fixed
+    # unrolled count cannot *over*-iterate and accumulate f32 drift on
+    # easy systems.  (A data-dependent while_loop would genuinely exit
+    # early, but rolled loops around the banded matvec hard-fault the TPU
+    # at P >= 512 — see the comment above — so masking is the safe form.)
+    rel_tol2 = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-10, dtype)
+    b2 = b @ b
     for _ in range(n_pcg):
+        live = r @ r > rel_tol2 * b2
         Ap = band_matvec(band_s, p)
         pAp = p @ Ap
-        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp > 0, pAp, 1.0), 0.0)
+        alpha = jnp.where(live & (pAp > 0),
+                          rz / jnp.where(pAp > 0, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = precond(r)
         rz_new = r @ z
-        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
-        p = z + beta * p
-        rz = rz_new
+        beta = jnp.where(live & (rz > 0),
+                         rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p = jnp.where(live, z + beta * p, p)
+        rz = jnp.where(live, rz_new, rz)
     delta_p = x[: P * D] * scal.reshape(-1)
     # guard: reject steps the short PCG failed to stabilize (residual not
     # reduced below the rhs) — `ok=False` makes GN/dogleg fall back to

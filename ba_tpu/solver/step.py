@@ -258,8 +258,13 @@ def gn_iteration(problem: Problem, config: BAConfig, use_imu: bool,
         lambda a, b: jnp.where(accept, a, b), candidate, problem)
     dn = gn_damping * jnp.sqrt(jnp.sum(step.delta_p**2)
                                + jnp.sum(step.delta_l**2))
-    return IterResult(problem=out, pre_cost=built.cost, post_cost=post,
-                      delta_norm=dn, accepted=accept,
+    # rejected iterations report the *committed* state's cost and a zero
+    # step, mirroring dogleg_iteration and the reference's snapshot/restore
+    # rollback (cpp:1096-1149): the trial cost was never applied
+    return IterResult(problem=out, pre_cost=built.cost,
+                      post_cost=jnp.where(accept, post, built.cost),
+                      delta_norm=jnp.where(accept, dn, 0.0),
+                      accepted=accept,
                       trust_radius=jnp.zeros_like(built.cost),
                       solver_ok=step.ok)
 
@@ -404,6 +409,25 @@ _RESULT_NAMES = {
 }
 
 
+def _status_code(res: IterResult, config: BAConfig, tiny=1e-30):
+    """Exit-criteria status of one iteration (reference cpp:648-661).
+
+    THE single implementation of the convergence tests: `solve_adaptive`
+    traces it inside its while_loop and the host loop in `solve` evaluates
+    it on concrete arrays — the two paths cannot drift.
+    """
+    pre, post, dn = res.pre_cost, res.post_cost, res.delta_norm
+    rel = jnp.abs(post - pre) / jnp.maximum(pre, tiny)
+    return jnp.where(
+        ~res.solver_ok, _FACT_ERR,
+        jnp.where(~res.accepted, _ERR_INC,
+                  jnp.where((pre > 0)
+                            & (rel < config.error_change_threshold),
+                            _ERR_CHG,
+                            jnp.where(dn < config.param_change_threshold,
+                                      _PARAM_CHG, _RUNNING))))
+
+
 @partial(jax.jit, static_argnames=("config", "use_imu", "gn_damping",
                                    "error_increase_allowed"))
 def solve_adaptive(problem: Problem, config: BAConfig, use_imu: bool,
@@ -441,15 +465,7 @@ def solve_adaptive(problem: Problem, config: BAConfig, use_imu: bool,
             trust_n = trust
         pre, post, dn = res.pre_cost, res.post_cost, res.delta_norm
         init_c = jnp.where(it == 0, pre, init_c)
-        rel = jnp.abs(post - pre) / jnp.maximum(pre, tiny)
-        status_n = jnp.where(
-            ~res.solver_ok, _FACT_ERR,
-            jnp.where(~res.accepted, _ERR_INC,
-                      jnp.where((pre > 0)
-                                & (rel < config.error_change_threshold),
-                                _ERR_CHG,
-                                jnp.where(dn < config.param_change_threshold,
-                                          _PARAM_CHG, _RUNNING))))
+        status_n = _status_code(res, config, tiny)
         return (res.problem, trust_n, it + 1, status_n, init_c, post, dn)
 
     carry0 = (problem, trust0, jnp.asarray(0), jnp.asarray(_RUNNING),
@@ -489,12 +505,62 @@ class Summary:
     num_cond_proj_residuals: int = 0
     num_imu_residuals: int = 0
     num_cond_imu_residuals: int = 0
+    # (K, K) marginal covariance of the calibration block, filled when
+    # config.calculate_calibration_marginals (reference
+    # SolutionSummary::calibration_marginals, BundleAdjuster.h:63-67,
+    # filled cpp:771-785)
+    calibration_marginals: Optional["object"] = None
+    # staged-Tvs state at exit (reference IsTranslationEnabled, h:556)
+    tvs_translation_enabled: bool = True
 
     @property
     def is_good(self) -> bool:
         """reference SolutionSummary::IsResultGood (h:68-69)."""
         return self.result in ("Success", "ErrorChangeBelowThreshold",
                                "ParamChangeBelowThreshold")
+
+
+def _auto_band_width(problem: Problem, config: BAConfig) -> BAConfig:
+    """Populate `band_width` from the problem structure when unset, so the
+    banded-grid assembly fast path is the default, not opt-in knowledge
+    (the reference's `use_sparse_solver` default-on ergonomics, h:92).
+
+    Skipped when a calibration block is present (dense rows break the
+    band) or when the detected band covers the whole window (dense wins).
+    """
+    if config.band_width or config.calib_dim:
+        return config
+    from .assemble import band_width_of
+
+    P = problem.poses.q.shape[0]
+    b = band_width_of(problem)
+    if 0 < b < P:
+        return dataclasses.replace(config, band_width=b)
+    return config
+
+
+def _calibration_epilogue(problem: Problem, config: BAConfig,
+                          use_imu: bool, summary: "Summary") -> None:
+    """Fill Summary.calibration_marginals and/or dump the reduced system
+    (reference cpp:600-627, 771-785): one extra assembly at the solution.
+    Uses the general (dense) assembly path regardless of band_width —
+    the calibration block needs the dense S anyway."""
+    if not (config.calculate_calibration_marginals
+            or config.write_reduced_camera_matrix):
+        return
+    from .linear import calibration_marginals, dump_system
+
+    cfg = dataclasses.replace(config, band_width=0)
+    p = prepare_landmarks(problem, config)
+    imu_eval = _imu_eval(p, cfg, use_imu, True)
+    asm = assemble(p, cfg, imu_eval=imu_eval)
+    if config.calculate_calibration_marginals and config.calib_dim:
+        import numpy as np
+
+        summary.calibration_marginals = np.asarray(
+            calibration_marginals(asm, config.calib_dim))
+    if config.write_reduced_camera_matrix:
+        dump_system(asm, config.write_reduced_camera_matrix)
 
 
 def solve(problem: Problem, config: BAConfig, max_iter: int = 10,
@@ -508,13 +574,22 @@ def solve(problem: Problem, config: BAConfig, max_iter: int = 10,
 
     Returns (problem, Summary).
 
-    With `verbose == 0` the entire adaptive loop runs as one jitted
-    program (`solve_adaptive`); the host loop below is kept for the
-    per-iteration debug stream.
+    With `verbose == 0` and no Tvs staging the entire adaptive loop runs
+    as one jitted program (`solve_adaptive`); the host loop below is kept
+    for the per-iteration debug stream and for staged-Tvs solves (whose
+    activation flips a *static* config bit between compiled programs).
+    Both paths share `_status_code` for the exit criteria.
     """
     if use_imu is None:
         use_imu = bool(jax.device_get(jnp.any(problem.imu.valid)))
-    if not verbose:
+    config = _auto_band_width(problem, config)
+    staging = (config.do_tvs and config.tvs_translation_staging
+               and config.tvs_translation_active)
+    if staging:
+        # start with Tvs translation frozen (reference initializes
+        # translation_enabled_ false, h:170)
+        config = dataclasses.replace(config, tvs_translation_active=False)
+    if not verbose and not staging:
         p, stats = solve_adaptive(problem, config, use_imu, max_iter,
                                   gn_damping, error_increase_allowed)
         summary = Summary()
@@ -524,10 +599,14 @@ def solve(problem: Problem, config: BAConfig, max_iter: int = 10,
         summary.delta_norm = float(stats["delta_norm"])
         summary.result = _RESULT_NAMES[int(stats["status"])]
         _fill_breakdown(summary, stats["breakdown"])
+        _calibration_epilogue(p, config, use_imu, summary)
         return p, summary
     problem = prepare_landmarks(problem, config)
     summary = Summary()
     trust = jnp.asarray(config.trust_region_size, problem.poses.t.dtype)
+    n_poses = int(jax.device_get(jnp.sum(problem.poses.active)))
+    last_tvs = (jax.device_get((problem.rig.tvs_q[0], problem.rig.tvs_t[0]))
+                if staging else None)
     for it in range(max_iter):
         if config.use_dogleg:
             res = dogleg_iteration(problem, config, use_imu, trust)
@@ -547,26 +626,34 @@ def solve(problem: Problem, config: BAConfig, max_iter: int = 10,
         summary.iterations = it + 1
         summary.final_cost = post
         summary.delta_norm = float(res.delta_norm)
-        if not bool(res.solver_ok):
-            # the reference raises FactorizationError from CalculateGn and
-            # stops (cpp:756-764)
-            summary.result = "FactorizationError"
+        if staging and not config.tvs_translation_active:
+            # stabilization test (reference cpp:257-271): enable the Tvs
+            # translation once the extrinsic's se3-log difference between
+            # consecutive builds drops below 0.01 with >= 30 poses
+            tvs_now = jax.device_get((problem.rig.tvs_q[0],
+                                      problem.rig.tvs_t[0]))
+            log_dif = float(jnp.linalg.norm(lie.se3_log_decoupled(
+                tvs_now, last_tvs)))
+            if verbose:
+                print(f"  tvs logDif {log_dif:.5g}")
+            if log_dif < 0.01 and n_poses >= 30:
+                if verbose:
+                    print("  ENABLING Tvs TRANSLATION")
+                config = dataclasses.replace(config,
+                                             tvs_translation_active=True)
+            last_tvs = tvs_now
+        status = int(jax.device_get(_status_code(res, config)))
+        if status != _RUNNING:
+            summary.result = _RESULT_NAMES[status]
             break
-        if not bool(res.accepted):
-            summary.result = "ErrorIncreased"
-            break
-        if pre > 0 and abs(post - pre) / pre < config.error_change_threshold:
-            summary.result = "ErrorChangeBelowThreshold"
-            break
-        if float(res.delta_norm) < config.param_change_threshold:
-            summary.result = "ParamChangeBelowThreshold"
-            break
+    summary.tvs_translation_enabled = config.tvs_translation_active
     # per-family error epilogue (reference cpp:666-704)
     from .summary import error_breakdown
 
     eb = error_breakdown(problem, config, use_imu)
     _fill_breakdown(summary, eb)
     problem = finalize_landmarks(problem, config)
+    _calibration_epilogue(problem, config, use_imu, summary)
     return problem, summary
 
 

@@ -126,6 +126,10 @@ def roofline(problem, cfg, solve_fixed, n_iters=25):
         ca = ca[0]
     flops = ca.get("flops", 0.0)
     byts = ca.get("bytes accessed", 0.0)
+    if flops <= 0.0 or byts <= 0.0:
+        print("\nroofline: cost analysis unavailable on this backend "
+              f"(flops={flops!r}, bytes={byts!r}) — skipping")
+        return
     ms = timeit(fn, problem, reps=5)
     kind = jax.devices()[0].device_kind
     peak = next((v for k, v in _PEAKS.items() if kind.startswith(k)), None)

@@ -53,3 +53,65 @@ def test_fleet_converges_each_window():
     _, costs, _ = solve_fleet(batched, cfg, False, N_ITERS)
     costs = np.asarray(costs)
     assert np.all(costs[:, -1] < 1e-3 * costs[:, 0] + 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Natively batched fleet: block-diagonal concatenation (round 3) — the
+# layout that replaces vmap for throughput (BASELINE.md fleet table)
+# ---------------------------------------------------------------------------
+
+
+def test_concat_fleet_matches_individual_solves():
+    """B windows fused by concat_problems must reproduce each window's solo
+    solve bit-for-bit (robust norm off: the fused problem would otherwise
+    share one global Huber median across windows)."""
+    import dataclasses
+
+    from ba_tpu.core.problem import concat_problems
+
+    problems, cfg = _windows(3)
+    cfg = dataclasses.replace(cfg, use_robust_norm_for_proj_residuals=False)
+
+    solo = [solve_fixed(p, cfg, False, N_ITERS) for p in problems]
+
+    fused = concat_problems(problems, cfg)
+    fused = prepare_landmarks(fused, cfg)
+    out, costs, _ = solve_fixed(fused, cfg, False, N_ITERS)
+
+    # fused cost trace = sum of solo cost traces (atol covers the
+    # roundoff-reassociation floor once windows are fully converged)
+    total = sum(np.asarray(s[1]) for s in solo)
+    np.testing.assert_allclose(np.asarray(costs), total, rtol=1e-6,
+                               atol=1e-15 * float(total[0]))
+    po = 0
+    for p, s in zip(problems, solo):
+        P_i = p.poses.q.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(out.poses.t[po:po + P_i]),
+            np.asarray(s[0].poses.t), rtol=1e-7, atol=1e-9)
+        po += P_i
+
+
+def test_concat_fleet_banded_path():
+    """The fused fleet through the banded assembly + O(P) banded direct
+    solve (the production fleet configuration)."""
+    import dataclasses
+
+    from ba_tpu.core.problem import concat_problems
+    from ba_tpu.solver.assemble import band_width_of
+
+    problems, cfg = _windows(2)
+    cfg = dataclasses.replace(cfg, use_robust_norm_for_proj_residuals=False)
+    fused = concat_problems(problems, cfg)
+    bw = band_width_of(fused)
+    # windows do not couple: the fused band width equals the per-window one
+    assert bw <= max(band_width_of(p) for p in problems)
+    cfg_b = dataclasses.replace(cfg, band_width=bw, use_banded_solver=True)
+    fused_p = prepare_landmarks(fused, cfg_b)
+    out, costs, _ = solve_fixed(fused_p, cfg_b, False, N_ITERS)
+    cfg_d = dataclasses.replace(cfg, band_width=0)
+    out_d, costs_d, _ = solve_fixed(prepare_landmarks(fused, cfg_d),
+                                    cfg_d, False, N_ITERS)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(costs_d),
+                               rtol=1e-6, atol=1e-15 * float(costs_d[0]))
+    assert float(costs[-1]) < 1e-3 * float(costs[0]) + 1e-12
