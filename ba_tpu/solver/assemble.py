@@ -112,16 +112,41 @@ def _scatter_blocks(dst, blocks, row0, col0):
 _ONEHOT_NSEG_MAX = 512
 
 
-def seg_sum_blocks(vals, ids, nseg):
+# per-window one-hot budget for fused fleets: total one-hot bytes
+# (nseg * n * 4 / F) must stay under this for the batched-matmul form
+_ONEHOT_FLEET_BYTES = 256_000_000
+
+
+def seg_sum_blocks(vals, ids, nseg, fleet: int = 1):
     """segment_sum of (n, *block) values, flattened to (n, prod(block)).
 
     Measured on TPU v5e: XLA lowers the 2-D form ~7x faster than the same
     reduction on (n, b1, b2)-shaped operands; small segment counts
     (per-pose / per-landmark sums) go through a one-hot MXU matmul
     instead of the scatter.  Out-of-range ids drop their rows in both
-    forms (used for padding)."""
+    forms (used for padding).
+
+    `fleet` > 1 (concat_problems layout: rows AND segments split into F
+    equal independent windows, every row's segment inside its own window)
+    batches the one-hot matmul per window — measured ~2x over the TPU
+    scatter for the per-pose/per-landmark sums at fleet sizes where the
+    global one-hot would not fit."""
     shape = vals.shape
-    v2 = vals.reshape(shape[0], -1)
+    n = shape[0]
+    v2 = vals.reshape(n, -1)
+    if (fleet > 1 and n % fleet == 0 and nseg % fleet == 0
+            and nseg // fleet > 0
+            and nseg * n * 4 // fleet <= _ONEHOT_FLEET_BYTES):
+        F = fleet
+        ns_w = nseg // F
+        ids_l = ids.reshape(F, n // F) \
+            - (jnp.arange(F, dtype=ids.dtype) * ns_w)[:, None]
+        oh = (ids_l[:, None, :]
+              == jnp.arange(ns_w, dtype=ids.dtype)[None, :, None])
+        out = jnp.einsum("fsn,fnb->fsb", oh.astype(v2.dtype),
+                         v2.reshape(F, n // F, -1),
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape((nseg,) + shape[1:])
     if nseg <= _ONEHOT_NSEG_MAX:
         oh = ids[None, :] == jnp.arange(nseg, dtype=ids.dtype)[:, None]
         out = jnp.dot(oh.astype(v2.dtype), v2,

@@ -42,9 +42,13 @@ from .linear import GnStep
 
 
 def _band_self_cross(P, B, D, dtype, pb, ju, u_pose, jb1, jb2, b1, b2,
-                     ji1, ji2, i1, i2):
+                     ji1, ji2, i1, i2, extra6=None, extra6_ids=None):
     """U on the (P*B,) band grid from weighted family blocks (band[p, d] =
-    U[p, p+d] block, d >= 0)."""
+    U[p, p+d] block, d >= 0).
+
+    `extra6`/`extra6_ids` are additional pre-formed (n, 6, 6) blocks merged
+    into the SAME segment sum (one scatter instead of two — the Schur
+    correction rides along in band_S)."""
     from .assemble import _band_pair_blocks, seg_sum_blocks
 
     self6 = jnp.concatenate([
@@ -56,9 +60,13 @@ def _band_self_cross(P, B, D, dtype, pb, ju, u_pose, jb1, jb2, b1, b2,
     self_ids = jnp.concatenate([pb.pose, pb.ref, u_pose, b1, b2]) * B
     cross_p, ids_p = _band_pair_blocks(pb.j_m, pb.j_r, pb.pose, pb.ref, B)
     cross_b, ids_b = _band_pair_blocks(jb1, jb2, b1, b2, B)
-    grid6 = seg_sum_blocks(
-        jnp.concatenate([self6, cross_p, cross_b], axis=0),
-        jnp.concatenate([self_ids, ids_p, ids_b]), P * B)
+    rows = [self6, cross_p, cross_b]
+    ids = [self_ids, ids_p, ids_b]
+    if extra6 is not None:
+        rows.append(extra6)
+        ids.append(extra6_ids)
+    grid6 = seg_sum_blocks(jnp.concatenate(rows, axis=0),
+                           jnp.concatenate(ids), P * B)
     grid = jnp.zeros((P * B, D, D), dtype).at[:, :6, :6].add(grid6)
 
     if ji1 is not None:
@@ -85,13 +93,12 @@ def band_S(problem: Problem, config: BAConfig, bs: cg_mod.BlockSystem,
 
     B = config.band_width
     dtype = bs.rhs_sc.dtype
-    grid = _band_self_cross(P, B, D, dtype, bs.pj, bs.ju, bs.u_pose,
-                            bs.jb1, bs.jb2, bs.b1, bs.b2, bs.ji1, bs.ji2,
-                            bs.i1, bs.i2)
 
     # Schur correction on the band: for each per-landmark W-block pair
     # (i, j) with a = pose_i <= b = pose_j, subtract Wb_i V^-1 Wb_j^T at
     # band segment (a, b - a).  i == j covers the diagonal block once.
+    # The negated blocks merge into the SAME segment sum as the residual
+    # families (one scatter total, not two).
     idx = problem.pidx
     pj = bs.pj
     wb_blocks = jnp.concatenate([
@@ -106,8 +113,10 @@ def band_S(problem: Problem, config: BAConfig, bs: cg_mod.BlockSystem,
     corr = jnp.einsum("nkl,nql->nkq", WbVi[idx.sp_i], Wb[idx.sp_j])
     corr = corr * idx.sp_valid[:, None, None].astype(dtype)
     seg = jnp.where(idx.sp_valid & (d < B), a * B + d, P * B)  # drop pad
-    corr_grid = seg_sum_blocks(corr, seg, P * B)
-    grid = grid.at[:, :6, :6].add(-corr_grid)
+
+    grid = _band_self_cross(P, B, D, dtype, bs.pj, bs.ju, bs.u_pose,
+                            bs.jb1, bs.jb2, bs.b1, bs.b2, bs.ji1, bs.ji2,
+                            bs.i1, bs.i2, extra6=-corr, extra6_ids=seg)
 
     band = grid.reshape(P, B, D, D)
     # zero blocks that would wrap past the last pose
@@ -273,6 +282,109 @@ def _effective_pcg_iters(n_config: int, backend: str) -> int:
     if n == 3 and backend == "tpu":
         n = 4
     return n
+
+
+def solve_reduced_fleet_dense(problem: Problem, config: BAConfig,
+                              bs: cg_mod.BlockSystem, P: int,
+                              D: int) -> GnStep:
+    """Fleet reduced solve: per-window DENSE Schur complement + ONE batched
+    Cholesky — (F, n_w, n_w) with n_w = (P/F)*D.
+
+    Windows never couple (concat_problems is block-diagonal), so
+      * U comes off the banded family grid, densified window-by-window at
+        memcpy speed (band_to_dense vmapped);
+      * the Schur correction is a *batched MXU matmul*
+        S_f = U_f - (W_f V^-1) W_f^T over each window's dense
+        (n_w, L_w*lm) coupling block — NOT the per-landmark pair-table
+        scatter (profiled 2026-08-19: the sp-table path moved ~1M tiny
+        blocks per iteration and dominated band_S at 23 ms; the dense
+        product is ~11 GFLOP of pure batched matmul at the flagship fleet
+        size);
+      * one batched `cho_factor`, no sequential chunk scan, no PCG wrap;
+        numerics match `linear.solve_reduced` per window.
+    The right fleet path whenever one window's dense factor fits (n_w up
+    to a few thousand); the chunked O(P) path remains for long single
+    trajectories.
+    """
+    from .assemble import band_to_dense
+
+    dtype = bs.rhs_sc.dtype
+    F = config.fleet_size
+    P_w = P // F
+    n_w = P_w * D
+    B = config.band_width
+    L = bs.V.shape[0]
+    lm = bs.V.shape[1]
+    L_w = L // F
+
+    # families-only U on the band grid (no Schur correction rows)
+    grid = _band_self_cross(P, B, D, dtype, bs.pj, bs.ju, bs.u_pose,
+                            bs.jb1, bs.jb2, bs.b1, bs.b2, bs.ji1, bs.ji2,
+                            bs.i1, bs.i2)
+    band = grid.reshape(P, B, D, D)
+    pd = jnp.arange(P)[:, None] + jnp.arange(B)[None, :]
+    band = band * (pd < P)[:, :, None, None].astype(dtype)
+    # masked dims -> identity rows (as band_S does)
+    mD = bs.col_mask[: P * D].reshape(P, D).astype(dtype)
+    band = band.at[:, 0].add(
+        jnp.eye(D, dtype=dtype)[None] * (1.0 - mD)[:, :, None])
+    U = jax.vmap(band_to_dense)(band.reshape(F, P_w, B, D, D))
+
+    # per-window dense W in TRANSPOSED strip layout W_T (F, L_w, lm, n_w):
+    # every raw projection row scatters one contiguous (D,)-wide strip at
+    # flat row ((f*L_w + l)*lm + k), col pose_local*D — a row scatter of
+    # ~2 Nr strips, no intermediate unique-block table, no per-element
+    # index tuples (the naive (F, n_w, L*lm) block scatter profiled
+    # 6.4 ms; this form is a plain strip scatter like the rhs sums)
+    pj = bs.pj
+    strips = jnp.concatenate([
+        jnp.einsum("nik,nil->nlk", pj.j_m, pj.j_l),
+        jnp.einsum("nik,nil->nlk", pj.j_r, pj.j_l)], axis=0)  # (2n, lm, 6)
+    strips = jnp.pad(strips, ((0, 0), (0, 0), (0, D - 6)))    # (2n, lm, D)
+    lm_g = jnp.concatenate([pj.lm, pj.lm])
+    pose_g = jnp.concatenate([pj.pose, pj.ref])
+    # single flat row index (landmark-slot-major, pose minor) so the
+    # scatter is a plain ROW scatter with D-wide update windows — the
+    # two-index form lowered to element-granular writes (profiled 9 ms)
+    row = (lm_g[:, None] * lm
+           + jnp.arange(lm, dtype=lm_g.dtype)[None, :]) * P_w \
+        + (pose_g % P_w)[:, None]                             # (2n, lm)
+    Wt = jnp.zeros((F * L_w * lm * P_w, D), dtype)
+    Wt = Wt.at[row.reshape(-1)].add(strips.reshape(-1, D))
+    W_T = Wt.reshape(F, L_w * lm, n_w)
+
+    # batched Schur complement on the MXU
+    vinvF = bs.vinv.reshape(F, L_w, lm, lm)
+    WVi_T = jnp.einsum("flkm,flmn->flkn", vinvF,
+                       W_T.reshape(F, L_w, lm, n_w))
+    WVi_T = WVi_T.reshape(F, L_w * lm, n_w)
+    S = U - jnp.einsum("fln,flq->fnq", WVi_T, W_T)
+
+    d = jnp.diagonal(S, axis1=-2, axis2=-1)
+    scal = jax.lax.rsqrt(jnp.maximum(d, 1e-12))           # (F, n_w)
+    Ss = S * scal[:, :, None] * scal[:, None, :]
+    eps = jnp.asarray(1e-8 if dtype == jnp.float64 else 1e-4, dtype)
+    Ss = Ss + eps * jnp.eye(n_w, dtype=dtype)[None]
+    c = jnp.linalg.cholesky(Ss)
+    ok = jnp.all(jnp.isfinite(c))
+
+    rhsF = (bs.rhs_sc * scal.reshape(-1)).reshape(F, n_w)
+
+    def tri_solve(cF, bF):
+        y = jax.scipy.linalg.solve_triangular(cF, bF[:, :, None],
+                                              lower=True)
+        return jax.scipy.linalg.solve_triangular(
+            cF, y, lower=True, trans=1)[:, :, 0]
+
+    x = tri_solve(c, rhsF)
+    # one step of iterative refinement in the scaled space
+    r = rhsF - jnp.einsum("fij,fj->fi", Ss, x)
+    x = x + tri_solve(c, r)
+    delta_p = (x.reshape(-1)) * scal.reshape(-1)
+    delta_p = jnp.where(jnp.isfinite(delta_p), delta_p, 0.0)
+    delta_p = jnp.where(bs.col_mask, delta_p, 0.0)
+    delta_l = cg_mod.back_substitute_blocks(bs, delta_p, P, D, 0)
+    return GnStep(delta_p=delta_p, delta_l=delta_l, ok=ok)
 
 
 def solve_reduced_banded(problem: Problem, config: BAConfig,

@@ -74,8 +74,16 @@ class BlockSystem(NamedTuple):
     proj_w: jax.Array
 
 
-def _seg2(j1, j2, idx1, idx2, u1, u2, P):
-    """segment_sum of j1^T u1 (to idx1) and j2^T u2 (to idx2) -> (P, w)."""
+def _seg2(j1, j2, idx1, idx2, u1, u2, P, fleet: int = 1):
+    """segment_sum of j1^T u1 (to idx1) and j2^T u2 (to idx2) -> (P, w).
+
+    In fleet mode the two halves sum separately (concatenation would break
+    the window-contiguous row layout `seg_sum_blocks` batches over)."""
+    if fleet > 1:
+        return (asm.seg_sum_blocks(jnp.einsum("nik,ni->nk", j1, u1),
+                                   idx1, P, fleet)
+                + asm.seg_sum_blocks(jnp.einsum("nik,ni->nk", j2, u2),
+                                     idx2, P, fleet))
     y = jnp.concatenate([jnp.einsum("nik,ni->nk", j1, u1),
                          jnp.einsum("nik,ni->nk", j2, u2)], axis=0)
     return jax.ops.segment_sum(y, jnp.concatenate([idx1, idx2]),
@@ -225,23 +233,28 @@ def assemble_blocks(problem: Problem, config: BAConfig,
         imu_cost = jnp.zeros((), dtype)
         ri = None
 
+    # fleet mode (concat_problems layout): per-window one-hot MXU segment
+    # sums replace the serialized scatters (seg_sum_blocks fleet path);
+    # sharded problems keep the plain form (their rows are shard-local)
+    F = config.fleet_size if axis_name is None else 1
+
     # landmark system
     lm_ids = pb.lm
-    V = jax.ops.segment_sum(jnp.einsum("nik,nil->nkl", pb.j_l, pb.j_l),
-                            lm_ids, num_segments=L)
+    V = asm.seg_sum_blocks(jnp.einsum("nik,nil->nkl", pb.j_l, pb.j_l),
+                           lm_ids, L, F)
     vinv = block_diag_inv(V)
-    rhs_l = jax.ops.segment_sum(jnp.einsum("nil,ni->nl", pb.j_l, pb.r),
-                                lm_ids, num_segments=L)
+    rhs_l = asm.seg_sum_blocks(jnp.einsum("nil,ni->nl", pb.j_l, pb.r),
+                               lm_ids, L, F)
 
     # gradient rhs_p = J^T r over pose+calib dims
     yp = jnp.zeros((P, D), dtype)
     yp = yp.at[:, :6].add(_seg2(pb.j_m, pb.j_r, pb.pose, pb.ref,
-                                pb.r, pb.r, P))
-    yp = yp.at[:, :6].add(jax.ops.segment_sum(
-        jnp.einsum("nik,ni->nk", ju, ue.r), u_pose, num_segments=P))
-    yp = yp.at[:, :6].add(_seg2(jb1, jb2, b1, b2, be.r, be.r, P))
+                                pb.r, pb.r, P, F))
+    yp = yp.at[:, :6].add(asm.seg_sum_blocks(
+        jnp.einsum("nik,ni->nk", ju, ue.r), u_pose, P, F))
+    yp = yp.at[:, :6].add(_seg2(jb1, jb2, b1, b2, be.r, be.r, P, F))
     if ji1 is not None:
-        yp = yp + _seg2(ji1, ji2, i1, i2, ri, ri, P)
+        yp = yp + _seg2(ji1, ji2, i1, i2, ri, ri, P, F)
     rhs_p = yp.reshape(-1)
     if K:
         rk = jnp.einsum("nik,ni->k", pb.j_c, pb.r)

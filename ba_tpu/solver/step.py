@@ -168,8 +168,15 @@ def _build_and_solve(problem: Problem, config: BAConfig,
             with_precond=not (banded_ok or sob_ok))
         if banded_ok:
             from . import banded as banded_mod
-            step = banded_mod.solve_reduced_banded(problem, config, bs,
-                                                   P, D)
+            F = config.fleet_size
+            if (F > 1 and P % F == 0 and L % F == 0
+                    and (P // F) * D <= 4096):
+                # fleet: batched dense Cholesky per window (no chunk scan)
+                step = banded_mod.solve_reduced_fleet_dense(
+                    problem, config, bs, P, D)
+            else:
+                step = banded_mod.solve_reduced_banded(problem, config, bs,
+                                                       P, D)
         elif sob_ok:
             from . import banded as banded_mod
             step = banded_mod.solve_reduced_banded_dense(

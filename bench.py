@@ -36,7 +36,7 @@ N_ITERS = 25
 CPU_BASELINE_KF_S = 954.7
 
 
-def build():
+def build(use_dogleg=False):
     import dataclasses
 
     import numpy as np
@@ -45,7 +45,7 @@ def build():
     from ba_tpu.io import simulate_vins as sv
     from ba_tpu.solver.assemble import band_width_of
 
-    cfg = BAConfig(pose_dim=9, lm_size=1, use_dogleg=False)
+    cfg = BAConfig(pose_dim=9, lm_size=1, use_dogleg=use_dogleg)
     sim = sv.simulate(n_poses=N_POSES, n_lms=N_LMS, seed=0)
     problem, _, _ = sv.build_problem(sim, cfg, perturb=0.01, seed=1)
     # banded-grid assembly fast path (numerically identical to the dense
@@ -59,7 +59,11 @@ def build():
     return problem, cfg
 
 
-def main(platform=None):
+def main(platform=None, use_dogleg=False):
+    """Default measures the GN path (the reference app's `Solve(25, 0.2)`
+    configuration); `--dogleg` measures the library-default dogleg path
+    (trust-region search re-evaluates trial costs inside the iteration),
+    recorded alongside in BASELINE.md."""
     if platform:
         jax.config.update("jax_platforms", platform)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -68,7 +72,7 @@ def main(platform=None):
 
     from ba_tpu.solver.step import solve_fixed
 
-    problem, cfg = build()
+    problem, cfg = build(use_dogleg)
 
     # warmup / compile (the whole N_ITERS loop is one XLA program)
     out = solve_fixed(problem, cfg, True, N_ITERS)
@@ -81,7 +85,8 @@ def main(platform=None):
 
     kf_per_s = N_POSES * N_ITERS / elapsed
     out = {
-        "metric": "vi_ba_keyframes_per_s_per_chip",
+        "metric": ("vi_ba_keyframes_per_s_per_chip_dogleg" if use_dogleg
+                   else "vi_ba_keyframes_per_s_per_chip"),
         "value": round(kf_per_s, 2),
         "unit": "keyframes/s",
         "vs_baseline": round(kf_per_s / CPU_BASELINE_KF_S, 3),
@@ -93,4 +98,5 @@ def main(platform=None):
 if __name__ == "__main__":
     import sys
 
-    main(platform="cpu" if "--cpu" in sys.argv else None)
+    main(platform="cpu" if "--cpu" in sys.argv else None,
+         use_dogleg="--dogleg" in sys.argv)

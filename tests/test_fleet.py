@@ -115,3 +115,32 @@ def test_concat_fleet_banded_path():
     np.testing.assert_allclose(np.asarray(costs), np.asarray(costs_d),
                                rtol=1e-6, atol=1e-15 * float(costs_d[0]))
     assert float(costs[-1]) < 1e-3 * float(costs[0]) + 1e-12
+
+
+def test_concat_fleet_dense_solver_matches():
+    """fleet_size > 1 dispatches the batched dense-per-window reduced solve
+    (solve_reduced_fleet_dense); it must match the fleet_size=1 chunked
+    path step for step."""
+    import dataclasses
+
+    from ba_tpu.core.problem import concat_problems
+    from ba_tpu.solver.assemble import band_width_of
+    from ba_tpu.solver.step import gn_iteration
+
+    problems, cfg = _windows(2)
+    cfg = dataclasses.replace(cfg, use_robust_norm_for_proj_residuals=False)
+    fused = concat_problems(problems, cfg)
+    bw = band_width_of(fused)
+    base = dataclasses.replace(cfg, band_width=bw, use_banded_solver=True)
+    fleet = dataclasses.replace(base, fleet_size=2)
+    p = prepare_landmarks(fused, base)
+    r1 = gn_iteration(p, base, False, 1.0, False)
+    r2 = gn_iteration(p, fleet, False, 1.0, False)
+    assert bool(r2.solver_ok)
+    np.testing.assert_allclose(float(r2.pre_cost), float(r1.pre_cost),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(r2.post_cost), float(r1.post_cost),
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r2.problem.poses.t),
+                               np.asarray(r1.problem.poses.t),
+                               rtol=1e-5, atol=1e-8)
