@@ -352,7 +352,18 @@ def _whiten_from_c9(problem, config, C9, im, dtype):
     Ni = C9.shape[0]
     eps9 = 1e-12 if dtype == jnp.float64 else 1e-8
     C9 = C9 + eps9 * jnp.eye(9, dtype=dtype)
-    S9 = whiten_factor(C9, from_cov=True)
+    if config.imu_rotation_only:
+        # rotation-only switched mode: whiten rows 3:6 by the ROTATION
+        # MARGINAL factor chol(C9[3:6, 3:6])^-1 and zero every other row.
+        # A full triangular factor would mix raw translation/velocity
+        # residual rows into the kept rotation rows, re-introducing the
+        # very DOF the switch removes (and their near-null directions);
+        # the marginal keeps exactly the gyro information.
+        C_rot = C9[:, 3:6, 3:6]
+        S3 = whiten_factor(C_rot, from_cov=True)
+        S9 = jnp.zeros((Ni, 9, 9), dtype).at[:, 3:6, 3:6].set(S3)
+    else:
+        S9 = whiten_factor(C9, from_cov=True)
     if config.bias_in_state:
         dt_total = jnp.max(im.time, axis=-1) - im.time[:, 0]
         r_b = jnp.concatenate([

@@ -453,3 +453,42 @@ def sharded_solve_fixed(problem: Problem, config: BAConfig, use_imu: bool,
     (p, _), (costs, dns) = jax.lax.scan(body, (problem, trust0), None,
                                         length=n_iters)
     return p, costs, dns
+
+
+# ---------------------------------------------------------------------------
+# Fleet sharding: independent windows across the mesh
+# ---------------------------------------------------------------------------
+
+
+def fleet_shardings(problems: Problem, mesh: Mesh):
+    """NamedSharding pytree for a STACKED fleet (`stack_problems`): every
+    leaf sharded on the leading fleet axis — each device owns whole
+    windows."""
+    row = NamedSharding(mesh, P(AXIS))
+    return jax.tree_util.tree_map(lambda _: row, problems)
+
+
+@partial(jax.jit, static_argnames=("config", "use_imu", "mesh", "n_iters",
+                                   "gn_damping"))
+def sharded_fleet_solve(problems: Problem, config: BAConfig, use_imu: bool,
+                        mesh: Mesh, n_iters: int, gn_damping: float = 1.0):
+    """Solve a fleet of B independent windows sharded across the mesh —
+    the multi-chip serving configuration: windows never couple, so each
+    device runs the whole fixed-iteration solve on its local windows with
+    ZERO collectives (perfect scaling by construction; contrast the
+    landmark-sharded paths, which psum pose-space partials every
+    iteration).  B must be a multiple of the mesh size; robust medians,
+    trust regions and exit costs stay per-window (vmap inside the shard).
+
+    No reference analog: the reference is single-problem single-node
+    (SURVEY.md §2.4).  Returns per-window (problems, costs, delta_norms)
+    like `solver.step.solve_fleet`."""
+    from ..solver.step import solve_fixed
+
+    def local(ps):
+        return jax.vmap(
+            lambda p: solve_fixed(p, config, use_imu, n_iters, gn_damping)
+        )(ps)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=P(AXIS),
+                         out_specs=P(AXIS), check_vma=False)(problems)

@@ -318,13 +318,17 @@ def proj_blocks(problem: Problem, config: BAConfig, colm6,
     pose_m = pr.pose.astype(jnp.int32)
     ref_pose = problem.lms.ref_pose[pr.lm].astype(jnp.int32)
     # per-pose column mask (the reference zeroes masked-dim Jacobian
-    # columns, cpp:1622-1629); calib dims are always optimized
+    # columns, cpp:1622-1629); the calib-column mask gates staged-frozen
+    # Tvs translation dims (all-ones otherwise) — masking at the source
+    # keeps rhs_p zero there too, so the dogleg CAUCHY step cannot move
+    # frozen dims (it uses the pre-Schur gradient, not the masked rhs_sc)
     cm_p = colm6[: P * D].reshape(P, D)
+    cm_k = colm6[P * D:]
     return ProjBlocks(
         j_m=pe.j_meas * sw * cm_p[pose_m][:, None, :],
         j_r=pe.j_ref * sw * cm_p[ref_pose][:, None, :],
         j_l=j_lm * sw,
-        j_c=(pe.j_cal * sw) if K else None,
+        j_c=(pe.j_cal * sw * cm_k[None, None, :]) if K else None,
         r=pe.r * sw[:, :, 0],
         pose=pose_m, ref=ref_pose, lm=pr.lm.astype(jnp.int32),
         w=w, cost=jnp.sum(w * pe.err_sq))

@@ -235,23 +235,28 @@ def assemble_blocks(problem: Problem, config: BAConfig,
 
     # fleet mode (concat_problems layout): per-window one-hot MXU segment
     # sums replace the serialized scatters (seg_sum_blocks fleet path);
-    # sharded problems keep the plain form (their rows are shard-local)
+    # single-window and sharded problems keep plain segment_sum (measured
+    # faster there — the global one-hot form LOST ~25% whole-flagship
+    # throughput when it accidentally took over the F=1 path, 2026-08-19)
     F = config.fleet_size if axis_name is None else 1
+
+    def _ss(vals, ids, nseg):
+        if F > 1:
+            return asm.seg_sum_blocks(vals, ids, nseg, F)
+        return jax.ops.segment_sum(vals, ids, num_segments=nseg)
 
     # landmark system
     lm_ids = pb.lm
-    V = asm.seg_sum_blocks(jnp.einsum("nik,nil->nkl", pb.j_l, pb.j_l),
-                           lm_ids, L, F)
+    V = _ss(jnp.einsum("nik,nil->nkl", pb.j_l, pb.j_l), lm_ids, L)
     vinv = block_diag_inv(V)
-    rhs_l = asm.seg_sum_blocks(jnp.einsum("nil,ni->nl", pb.j_l, pb.r),
-                               lm_ids, L, F)
+    rhs_l = _ss(jnp.einsum("nil,ni->nl", pb.j_l, pb.r), lm_ids, L)
 
     # gradient rhs_p = J^T r over pose+calib dims
     yp = jnp.zeros((P, D), dtype)
     yp = yp.at[:, :6].add(_seg2(pb.j_m, pb.j_r, pb.pose, pb.ref,
                                 pb.r, pb.r, P, F))
-    yp = yp.at[:, :6].add(asm.seg_sum_blocks(
-        jnp.einsum("nik,ni->nk", ju, ue.r), u_pose, P, F))
+    yp = yp.at[:, :6].add(_ss(jnp.einsum("nik,ni->nk", ju, ue.r),
+                              u_pose, P))
     yp = yp.at[:, :6].add(_seg2(jb1, jb2, b1, b2, be.r, be.r, P, F))
     if ji1 is not None:
         yp = yp + _seg2(ji1, ji2, i1, i2, ri, ri, P, F)

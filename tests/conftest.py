@@ -53,6 +53,21 @@ _SLOW_TESTS = {
     "test_calibration_marginals_in_summary",
     "test_calibrator_recovers_intrinsics",
     "test_end_to_end_reference_log",
+    "test_stage0_rotation_only_recovers_tvs_rotation",
+    "test_vins_visual_only_converges",
+    "test_gn_recovers_ground_truth_landmarks",
+    "test_tvs_staging_freezes_translation",
+    "test_dump_system",
+    "test_dogleg_converges",
+    "test_stereo_depth_recovery_two_poses",
+    "test_sharded_fleet_matches_local",
+    "test_stereo_ba_converges",
+    "test_gn_converges_noiseless",
+    "test_cg_with_imu_matches_dense_iteration",
+    "test_imu_rotation_only_rows",
+    "test_assembly_matches_dense_oracle",
+    "test_cg_step_matches_dense",
+    "test_gn_rollback_on_error_increase",
 }
 
 

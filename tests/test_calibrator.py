@@ -118,3 +118,82 @@ def test_dump_system(tmp_path):
     s = np.loadtxt(tmp_path / "s.txt")
     np.testing.assert_allclose(s, np.asarray(asm.S))
     assert (tmp_path / "rhs.txt").exists()
+
+
+def test_stage0_rotation_only_recovers_tvs_rotation():
+    """Rotation-rich, translation-poor capture: stage 0 (rotation-only
+    switched IMU + frozen T_vs translation, reference
+    CeresCostFunctions.h:274-345 / ViCalibrator.h:435-450) must pull a
+    perturbed T_vs *rotation* back toward truth — information a
+    vision-only stage 0 cannot use (without inertial residuals T_vs is
+    pure gauge and is not even optimized)."""
+    from scipy.spatial.transform import Rotation
+
+    xs, ys = np.meshgrid(np.linspace(-0.4, 0.4, 5),
+                         np.linspace(-0.3, 0.3, 4))
+    target = np.stack([xs.ravel(), ys.ravel(), np.zeros(20)], -1)
+    G = lie.GRAVITY
+
+    # vehicle spins in place 2 m in front of the target, rotating about
+    # two axes; true T_vs = I so camera frame == vehicle frame
+    pos = np.array([0.0, 0.0, -2.0])
+    n_frames, dt_f = 10, 0.4
+
+    def q_of(t):
+        return np.asarray(lie.quat_mul(
+            lie.so3_exp(jnp.asarray([0.0, 0.25 * np.sin(0.8 * t), 0.0])),
+            lie.so3_exp(jnp.asarray([0.2 * np.sin(1.1 * t), 0.0,
+                                     0.15 * t]))))
+
+    cal = ViCalibrator(target)
+    cal.add_camera(TRUE_CAM.copy(), camera.MODEL_LINEAR)
+    # perturbed initial extrinsic rotation (the quantity stage 0 must fix)
+    dq_err = np.asarray(lie.so3_exp(jnp.asarray([0.06, -0.05, 0.04])))
+    cal.tvs_q = dq_err.copy()
+
+    imu_hz = 50.0
+    for i in range(n_frames):
+        t = i * dt_f
+        q = q_of(t)
+        R = Rotation.from_quat([q[1], q[2], q[3], q[0]]).as_matrix()
+        obs = []
+        for pid, pw in enumerate(target):
+            pc = R.T @ (pw - pos)
+            if pc[2] < 0.1:
+                continue
+            pix = np.array([TRUE_CAM[0] * pc[0] / pc[2] + TRUE_CAM[2],
+                            TRUE_CAM[1] * pc[1] / pc[2] + TRUE_CAM[3]])
+            obs.append((pid, pix))
+        f = cal.add_frame(q, pos, t)
+        for (pid, pix) in obs:
+            cal.add_observation(f, pid, pix)
+    # consistent gyro/accel samples: w from finite quaternion differences,
+    # accel = -R^T g (stationary)
+    ts = np.arange(0.0, (n_frames - 1) * dt_f + 1e-9, 1.0 / imu_hz)
+    for k in range(len(ts)):
+        t = ts[k]
+        q0, q1 = q_of(t), q_of(t + 1e-4)
+        w = np.asarray(lie.so3_log(lie.quat_mul(
+            lie.quat_conj(jnp.asarray(q0)), jnp.asarray(q1)))) / 1e-4
+        R = Rotation.from_quat([q0[1], q0[2], q0[3], q0[0]]).as_matrix()
+        a = -R.T @ np.array([0.0, 0.0, -G])
+        cal.add_imu_measurements(w, a, t)
+
+    err0 = float(np.linalg.norm(np.asarray(lie.so3_log(lie.quat_mul(
+        jnp.asarray(cal.tvs_q), lie.quat_conj(jnp.asarray(
+            [1.0, 0, 0, 0])))))))
+    assert cal.stage == STAGE_ROTATION
+    mse = cal.solve_once(max_iter=30)
+    err1 = float(np.linalg.norm(np.asarray(lie.so3_log(
+        jnp.asarray(cal.tvs_q)))))
+    # stage 0 used the gyro: extrinsic rotation error shrinks, the frozen
+    # translation did not move, and the reprojection mse is small
+    assert err1 < 0.65 * err0, (err0, err1, mse)
+    assert mse < 0.05, mse
+    np.testing.assert_allclose(cal.tvs_t, 0.0, atol=1e-12)
+    # the staged ladder then unlocks translation (full IMU) and finishes
+    # the extrinsic rotation off
+    mse2 = cal.solve_once(max_iter=30)
+    err2 = float(np.linalg.norm(np.asarray(lie.so3_log(
+        jnp.asarray(cal.tvs_q)))))
+    assert err2 < 0.3 * err0, (err0, err1, err2, mse2)

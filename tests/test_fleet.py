@@ -144,3 +144,53 @@ def test_concat_fleet_dense_solver_matches():
     np.testing.assert_allclose(np.asarray(r2.problem.poses.t),
                                np.asarray(r1.problem.poses.t),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_sharded_fleet_matches_local():
+    """Windows sharded across the 8-device mesh (one whole window per
+    device, zero collectives) must match the local vmap fleet solve."""
+    from ba_tpu.parallel import shard
+
+    problems, cfg = _windows(8)
+    batched = stack_problems(problems)
+    out_l, costs_l, _ = solve_fleet(batched, cfg, False, N_ITERS)
+
+    import jax
+
+    mesh = shard.make_mesh(8)
+    b_sh = jax.device_put(batched, shard.fleet_shardings(batched, mesh))
+    out_s, costs_s, _ = shard.sharded_fleet_solve(b_sh, cfg, False, mesh,
+                                                  N_ITERS)
+    np.testing.assert_allclose(np.asarray(costs_s), np.asarray(costs_l),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_s.poses.t),
+                               np.asarray(out_l.poses.t),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_concat_unequal_windows():
+    """concat_problems also fuses windows of different sizes (the general
+    serving case); only the fleet_size fast paths need equal windows."""
+    import dataclasses
+
+    from ba_tpu.core.problem import concat_problems
+
+    p1, cfg = make_scene(n_poses=5, n_lms=18, seed=3, perturb=0.03)
+    p2, _ = make_scene(n_poses=8, n_lms=30, seed=4, perturb=0.03)
+    cfg = dataclasses.replace(cfg, use_robust_norm_for_proj_residuals=False)
+    s1 = solve_fixed(prepare_landmarks(p1, cfg), cfg, False, N_ITERS)
+    s2 = solve_fixed(prepare_landmarks(p2, cfg), cfg, False, N_ITERS)
+
+    fused = concat_problems([p1, p2], cfg)
+    fused = prepare_landmarks(fused, cfg)
+    out, costs, _ = solve_fixed(fused, cfg, False, N_ITERS)
+    total = np.asarray(s1[1]) + np.asarray(s2[1])
+    np.testing.assert_allclose(np.asarray(costs), total, rtol=1e-6,
+                               atol=1e-15 * float(total[0]))
+    P1 = p1.poses.q.shape[0]
+    np.testing.assert_allclose(np.asarray(out.poses.t[:P1]),
+                               np.asarray(s1[0].poses.t), rtol=1e-7,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.poses.t[P1:]),
+                               np.asarray(s2[0].poses.t), rtol=1e-7,
+                               atol=1e-9)

@@ -140,18 +140,23 @@ def test_imu_rotation_only_rows():
     cfg = BAConfig(pose_dim=9, lm_size=1)
     sim = sv.simulate(n_poses=6, n_lms=24, seed=3)
     problem, _, _ = sv.build_problem(sim, cfg, perturb=0.05, seed=4)
-    full = imu_mod.evaluate(problem, cfg, with_jacobians=True)
     rot = imu_mod.evaluate(
         problem, dataclasses.replace(cfg, imu_rotation_only=True),
         with_jacobians=True)
-    r_full = np.asarray(full.r)
     r_rot = np.asarray(rot.r)
     np.testing.assert_array_equal(r_rot[:, :3], 0.0)
     np.testing.assert_array_equal(r_rot[:, 6:], 0.0)
-    np.testing.assert_allclose(r_rot[:, 3:6], r_full[:, 3:6])
+    assert np.any(r_rot[:, 3:6] != 0.0)
     np.testing.assert_array_equal(np.asarray(rot.j1)[:, :3, :], 0.0)
     np.testing.assert_array_equal(np.asarray(rot.j1)[:, 6:, :], 0.0)
     assert np.any(np.asarray(rot.j1)[:, 3:6, :] != 0.0)
+    # the switched mode keeps ONLY gyro information: the rotation rows are
+    # whitened by the rotation MARGINAL, so they carry no velocity DOF —
+    # the velocity Jacobian columns must be exactly zero (a triangular
+    # 9x9 whitening factor would leak them back in and open near-null
+    # directions; that bug diverged the stage-0 calibration)
+    np.testing.assert_array_equal(np.asarray(rot.j1)[:, :, 6:9], 0.0)
+    np.testing.assert_array_equal(np.asarray(rot.j2)[:, :, 6:9], 0.0)
     # err_sq is consistent with the masked rows
     np.testing.assert_allclose(np.asarray(rot.err_sq),
                                np.sum(r_rot**2, axis=-1), rtol=1e-12)
