@@ -194,8 +194,14 @@ def integrate_full(q1, t1, v1, b, w, a, times, g, r_imu):
                 elems, ident)
             elems = pad1
             M_steps += 1
-        even = jax.tree_util.tree_map(lambda e: e[0::2], elems)
-        odd = jax.tree_util.tree_map(lambda e: e[1::2], elems)
+        # reshape-based pairing, NOT strided slices e[0::2]/e[1::2]: the
+        # strided form hard-crashes the TPU compiler under a second vmap
+        # level ("Slice dim size ... greater than dynamic slice
+        # dimension", observed 2026-08-19 at fleet vmap B>=2)
+        pairs = jax.tree_util.tree_map(
+            lambda e: e.reshape((M_steps // 2, 2) + e.shape[1:]), elems)
+        even = jax.tree_util.tree_map(lambda e: e[:, 0], pairs)
+        odd = jax.tree_util.tree_map(lambda e: e[:, 1], pairs)
         elems = combine(even, odd)
         M_steps //= 2
     Phi, Bsum, C = jax.tree_util.tree_map(lambda e: e[0], elems)

@@ -277,7 +277,7 @@ def _effective_pcg_iters(n_config: int, backend: str) -> int:
     KNOWN FAULT (ROADMAP item 2 / BASELINE.md): the n_pcg=3 program
     hard-faults the TPU at exactly P=512 (same XLA bug class as the rolled
     banded-matvec fault) — the clamp below pins the workaround so a config
-    can never resurrect it; tests/test_banded.py guards it."""
+    can never resurrect it; tests/test_parity3.py guards it."""
     n = n_config or 4
     if n == 3 and backend == "tpu":
         n = 4
