@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--lms", type=int, default=256)
     ap.add_argument("--iters-per-slide", type=int, default=2)
+    ap.add_argument("--vehicles", type=int, default=1,
+                    help="vmap the whole pipeline over B independent "
+                         "trajectories (fleet VIO serving): the slide "
+                         "step is tiny-op latency-bound, so batching "
+                         "vehicles multiplies retire throughput")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -45,16 +50,18 @@ def main():
 
     cfg = BAConfig(pose_dim=9, lm_size=1, use_dogleg=False)
     sim = sv.simulate(n_poses=args.poses, n_lms=args.lms, seed=7)
-    problem, _, _ = sv.build_problem(sim, cfg, perturb=0.01, seed=8)
-    problem = jax.tree_util.tree_map(
-        lambda a: a.astype(np.float32) if a.dtype == np.float64 else a,
-        problem)
-    problem = prepare_landmarks(problem, cfg)
+    vehicles = []
+    for v in range(args.vehicles):
+        p, _, _ = sv.build_problem(sim, cfg, perturb=0.01, seed=8 + v)
+        p = jax.tree_util.tree_map(
+            lambda a: a.astype(np.float32) if a.dtype == np.float64 else a,
+            p)
+        vehicles.append(prepare_landmarks(p, cfg))
+    problem = vehicles[0]
     P = int(problem.poses.q.shape[0])
     n_slides = args.poses - args.window
 
-    @jax.jit
-    def run(problem):
+    def pipeline(problem):
         def slide(p, k):
             p, costs, _ = solve_fixed(p, cfg, True, args.iters_per_slide)
             drop = jnp.arange(P) == k
@@ -62,6 +69,14 @@ def main():
             return p, costs[-1]
 
         return jax.lax.scan(slide, problem, jnp.arange(n_slides))
+
+    if args.vehicles > 1:
+        from ba_tpu.core.problem import stack_problems
+
+        problem = stack_problems(vehicles)
+        run = jax.jit(jax.vmap(pipeline))
+    else:
+        run = jax.jit(pipeline)
 
     out = run(problem)
     jax.block_until_ready(out[1])
@@ -73,11 +88,12 @@ def main():
 
     print(json.dumps({
         "metric": "fixed_lag_slides_per_s",
-        "value": round(n_slides / elapsed, 2),
+        "value": round(args.vehicles * n_slides / elapsed, 2),
         "unit": "keyframes/s",
         "window": args.window,
+        "vehicles": args.vehicles,
         "iters_per_slide": args.iters_per_slide,
-        "final_cost_last_window": float(final_costs[-1]),
+        "final_cost_last_window": float(final_costs.reshape(-1)[-1]),
     }))
 
 
