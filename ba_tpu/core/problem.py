@@ -96,6 +96,13 @@ class BAConfig:
     # faster but must still reduce the residual below the rhs or the
     # step is rejected (GnStep.ok gate).
     banded_pcg_iterations: int = 0
+    # factor the chunked block-tridiagonal system by batched block CYCLIC
+    # REDUCTION (log2(n_chunks) batched levels) instead of the sequential
+    # lax.scan recurrence (n_chunks latency-bound steps) whenever the
+    # chunk chain is >= 4 long.  Same factorization in exact arithmetic
+    # (block elimination in odd-even order); both forms sit inside the
+    # same short PCG wrap.  False keeps the scan.
+    banded_cyclic_reduction: bool = True
     # fleet layout (concat_problems): the pose axis is F independent
     # equal-length windows back to back.  The banded solver exploits it by
     # batching the chunked block-tridiagonal factorization ACROSS windows

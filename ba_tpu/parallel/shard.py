@@ -373,8 +373,86 @@ def _sharded_build_cg(problem: Problem, config: BAConfig, use_imu: bool,
     )(problem, colm, colm6)
 
 
+def _sharded_build_banded(problem: Problem, config: BAConfig,
+                          use_imu: bool, mesh: Mesh):
+    """Landmark-sharded build + BANDED reduced solve — the long-trajectory
+    distribution path (SURVEY §5.7's keyframe-axis scaling).
+
+    vs `_sharded_build_lm`: the ICI carries the (P, B, D, D) *band* of S
+    instead of the dense (N, N) matrix — O(P·B·D²) traffic instead of
+    O(P²·D²) (at P=2048, D=9, B=16: ~11 MB vs ~1.4 GB per iteration) —
+    and no dense S is ever materialized on any device.  Each shard
+    segment-sums its residual rows / owned landmarks onto a partial band
+    (`band_S` — non-owned W blocks sum to zero so their Schur pairs
+    vanish), ONE psum fuses the bands, and the chunked/cyclic-reduction
+    factorization + short PCG wrap run replicated (`banded_pcg_solve`).
+    Landmark back-substitution stays shard-local.  Same return signature
+    as `_sharded_build_lm`."""
+    D, K, Pn, L, lm, N = asm.dims(problem, config)
+    n_dev = mesh.devices.size
+    Lk = L // n_dev
+    dtype = problem.poses.t.dtype
+    colm = asm.col_mask(problem, config).astype(dtype)
+    colm6 = asm.col_mask(problem, config, 6).astype(dtype)
+
+    from ..solver import banded as banded_mod
+    from ..solver import cg as cg_mod
+
+    row = P(AXIS)
+    repl = P()
+
+    def rows_except_scalars(table):
+        return jax.tree_util.tree_map(
+            lambda a: row if a.ndim else repl, table)
+
+    in_specs = dataclasses.replace(
+        jax.tree_util.tree_map(lambda _: repl, problem),
+        proj=rows_except_scalars(problem.proj),
+        unary=rows_except_scalars(problem.unary),
+        binary=rows_except_scalars(problem.binary),
+        imu=rows_except_scalars(problem.imu),
+        lms=rows_except_scalars(problem.lms),
+    )
+
+    def local(problem_shard, colm_, colm6_):
+        k = jax.lax.axis_index(AXIS)
+        pr_local = dataclasses.replace(
+            problem_shard.proj, lm=problem_shard.proj.lm - k * Lk)
+        p_local = dataclasses.replace(problem_shard, proj=pr_local)
+        ie = _imu_eval(p_local, config, True, True) if use_imu else None
+        bs, _ = cg_mod.assemble_blocks(
+            p_local, config, ie, axis_name=AXIS, lm_offset=k * Lk,
+            with_precond=False)
+        band_part = banded_mod.band_S(p_local, config, bs, Pn, D,
+                                      lm_offset=k * Lk, add_identity=False)
+        band = jax.lax.psum(band_part, AXIS)
+        band = banded_mod.band_add_identity(band, bs.col_mask, Pn, D)
+        delta_p, ok = banded_mod.banded_pcg_solve(
+            band, bs.rhs_sc, bs.col_mask, config, Pn, D)
+        delta_l = cg_mod.back_substitute_blocks(bs, delta_p, Pn, D, 0)
+        alpha = cg_mod.cauchy_factor(bs, None, Pn, D, K, axis_name=AXIS)
+        return (delta_p, delta_l, bs.rhs_p, bs.rhs_l, bs.cost,
+                alpha, ok, bs.proj_w)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(in_specs, repl, repl),
+        out_specs=(repl, P(AXIS), repl, P(AXIS), repl, repl, repl,
+                   P(AXIS)),
+        check_vma=False,
+    )(problem, colm, colm6)
+
+
 def _sharded_build(problem, config, use_imu, mesh):
-    """Dispatch: matrix-free CG (use_cg_solver) or dense replicated-S."""
+    """Dispatch: banded (use_banded_solver, same static gate as the
+    single-device `_build_and_solve`), matrix-free CG (use_cg_solver), or
+    dense replicated-S."""
+    D, K, Pn, _, _, _ = asm.dims(problem, config)
+    banded_ok = (config.use_banded_solver
+                 and 0 < config.band_width <= Pn and K == 0
+                 and problem.marg.H.shape[0] != Pn * D)
+    if banded_ok:
+        return _sharded_build_banded(problem, config, use_imu, mesh)
     build = _sharded_build_cg if config.use_cg_solver else _sharded_build_lm
     return build(problem, config, use_imu, mesh)
 

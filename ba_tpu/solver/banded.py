@@ -81,13 +81,22 @@ def _band_self_cross(P, B, D, dtype, pb, ju, u_pose, jb1, jb2, b1, b2,
 
 
 def band_S(problem: Problem, config: BAConfig, bs: cg_mod.BlockSystem,
-           P: int, D: int) -> jax.Array:
+           P: int, D: int, lm_offset=None,
+           add_identity: bool = True) -> jax.Array:
     """Schur-reduced band (P, B, D, D): band[p, d] = S[p, p+d] (d >= 0,
     diagonal blocks full/symmetric), with masked dims as identity rows.
 
     `config.band_width` MUST come from `band_width_of` (which bounds both
     residual spans and landmark co-observation spans) — out-of-band
     contributions are an indexing-contract violation, not clipped.
+
+    Inside shard_map (landmark-sharded layout, `parallel.shard`): pass
+    `lm_offset` = the shard's landmark-chunk start and
+    `add_identity=False`.  Every term is a sum over shard-local residual
+    rows / owned landmarks (non-owned W blocks segment-sum to zero, so
+    their pair contributions vanish), so the per-shard bands psum to the
+    global band; the caller adds the masked-dim identity ONCE after the
+    psum (`band_add_identity`).
     """
     from .assemble import seg_sum_blocks
 
@@ -106,7 +115,12 @@ def band_S(problem: Problem, config: BAConfig, bs: cg_mod.BlockSystem,
         jnp.einsum("nik,nil->nkl", pj.j_r, pj.j_l)], axis=0)
     wb_ids = jnp.concatenate([problem.proj.wb_meas, problem.proj.wb_ref])
     Wb = seg_sum_blocks(wb_blocks, wb_ids, idx.wb_pose.shape[0])
-    WbVi = jnp.einsum("nkl,nlm->nkm", Wb, bs.vinv[idx.wb_lm])
+    wb_lm = idx.wb_lm
+    if lm_offset is not None:
+        # localize to the shard's vinv chunk; non-owned rows have Wb == 0
+        # so the gathered (wrong) inverse is annihilated
+        wb_lm = jnp.clip(wb_lm - lm_offset, 0, bs.vinv.shape[0] - 1)
+    WbVi = jnp.einsum("nkl,nlm->nkm", Wb, bs.vinv[wb_lm])
 
     a = idx.wb_pose[idx.sp_i]
     d = idx.wb_pose[idx.sp_j] - a
@@ -123,13 +137,20 @@ def band_S(problem: Problem, config: BAConfig, bs: cg_mod.BlockSystem,
     pd = jnp.arange(P)[:, None] + jnp.arange(B)[None, :]
     band = band * (pd < P)[:, :, None, None].astype(dtype)
 
-    # masked dims -> identity rows/cols (Jacobian columns are already
-    # zeroed; the dense path's 1e6 diagonal collapses to identity in the
-    # masked subspace)
-    mD = bs.col_mask[: P * D].reshape(P, D).astype(dtype)
-    band = band.at[:, 0].add(
-        jnp.eye(D, dtype=dtype)[None] * (1.0 - mD)[:, :, None])
+    if add_identity:
+        band = band_add_identity(band, bs.col_mask, P, D)
     return band
+
+
+def band_add_identity(band, col_mask, P, D):
+    """Masked dims -> identity rows/cols (Jacobian columns are already
+    zeroed; the dense path's 1e6 diagonal collapses to identity in the
+    masked subspace).  Split out of `band_S` so the sharded path can add
+    it once AFTER the psum of per-shard partial bands."""
+    dtype = band.dtype
+    mD = col_mask[: P * D].reshape(P, D).astype(dtype)
+    return band.at[:, 0].add(
+        jnp.eye(D, dtype=dtype)[None] * (1.0 - mD)[:, :, None])
 
 
 def band_matvec(band, x):
@@ -197,6 +218,102 @@ def _factor(Dg, Eg):
     (_, _), (C, M) = jax.lax.scan(step, (C0, E0), (Dg, Eg))
     ok = jnp.all(jnp.isfinite(C))
     return C, M, ok
+
+
+def _cho_solve_b(c, b):
+    """Batched SPD solve from batched lower-Cholesky factors c (..., n, n)
+    against b (..., n) or (..., n, k)."""
+    vec = b.ndim == c.ndim - 1
+    if vec:
+        b = b[..., None]
+    y = solve_triangular(c, b, lower=True)
+    x = solve_triangular(c, y, lower=True, trans=1)
+    return x[..., 0] if vec else x
+
+
+def _bcr_factor(Dg, Eg):
+    """Block CYCLIC REDUCTION factorization of the SPD block-tridiagonal
+    chunk system — the log-depth, fully batched alternative to the
+    sequential `_factor` scan.
+
+    The scan's recurrence runs n_c dependent steps of tiny (n, n) dense
+    ops; on TPU each step is launch/latency-bound, so long windows pay
+    O(n_c) in *latency*, not flops.  Cyclic reduction eliminates all odd
+    chunks at once per level (one batched Cholesky + a few batched
+    matmuls over n_c/2 blocks), halving the system log2(n_c) times:
+    ~7 batched levels replace 128 sequential steps at P=2048.  Standard
+    BCR for the system  E_{i-1}^T x_{i-1} + D_i x_i + E_i x_{i+1} = b_i:
+    per level, for kept (even) blocks
+        D'_k = D_2k - B_{k-1}^T Dodd_{k-1}^{-1} B_{k-1}
+                    - A_k Dodd_k^{-1} A_k^T
+        E'_k = -A_k Dodd_k^{-1} B_k
+    with A_k = E_{2k}, B_k = E_{2k+1}, Dodd_k = D_{2k+1}.
+
+    Returns (levels, ok): levels = [(chol(Dodd), A, B), ...] outer-to-
+    inner plus the base-case Cholesky last; `ok` is the all-levels-finite
+    flag (same contract as `_factor`).  Exact in exact arithmetic (it is
+    block Gaussian elimination in odd-even order); used — like the scan
+    factor — as the preconditioner of the short PCG wrap in f32.
+    """
+    m, n, _ = Dg.shape
+    dtype = Dg.dtype
+    M2 = 1 << max(m - 1, 0).bit_length()          # next power of two
+    if M2 > m:
+        pad = M2 - m
+        Dg = jnp.concatenate(
+            [Dg, jnp.broadcast_to(jnp.eye(n, dtype=dtype), (pad, n, n))])
+        Eg = jnp.concatenate([Eg, jnp.zeros((pad, n, n), dtype)])
+        m = M2
+    levels = []
+    ok = jnp.asarray(True)
+    D, E = Dg, Eg
+    while m > 1:
+        A = E[0::2]                                # E_{2k}   (h, n, n)
+        B = E[1::2]                                # E_{2k+1} (h, n, n)
+        Dodd = D[1::2]
+        c = jnp.linalg.cholesky(Dodd)
+        ok = ok & jnp.all(jnp.isfinite(c))
+        X = _cho_solve_b(c, jnp.swapaxes(A, -1, -2))   # Dodd^{-1} A^T
+        Z = _cho_solve_b(c, B)                         # Dodd^{-1} B
+        T1 = jnp.einsum("kij,kil->kjl", B, Z)          # B^T Dodd^{-1} B
+        T1 = jnp.concatenate([jnp.zeros_like(T1[:1]), T1[:-1]])
+        T2 = jnp.einsum("kij,kjl->kil", A, X)          # A Dodd^{-1} A^T
+        levels.append((c, A, B))
+        D = D[0::2] - T1 - T2
+        E = -jnp.einsum("kij,kjl->kil", A, Z)          # E'[h-1] == 0: B
+        m //= 2                                        # ends with E[m-1]=0
+    c0 = jnp.linalg.cholesky(D[0])
+    ok = ok & jnp.all(jnp.isfinite(c0))
+    levels.append(c0)
+    return levels, ok
+
+
+def _bcr_solve(levels, b, m_orig):
+    """x = S^-1 b through the cyclic-reduction levels; b (m_orig, n)."""
+    n = b.shape[1]
+    m_pad = 2 ** (len(levels) - 1)
+    if m_pad > m_orig:
+        b = jnp.concatenate(
+            [b, jnp.zeros((m_pad - m_orig, n), b.dtype)])
+
+    def rec(li, b):
+        if li == len(levels) - 1:
+            return _cho_solve_b(levels[li], b[0])[None]
+        c, A, B = levels[li]
+        b_odd, b_even = b[1::2], b[0::2]
+        u = _cho_solve_b(c, b_odd)
+        t1 = jnp.einsum("kij,ki->kj", B, u)            # B^T u -> even k+1
+        t1 = jnp.concatenate([jnp.zeros_like(t1[:1]), t1[:-1]])
+        t2 = jnp.einsum("kij,kj->ki", A, u)            # A u   -> even k
+        x_even = rec(li + 1, b_even - t1 - t2)
+        x_right = jnp.concatenate(
+            [x_even[1:], jnp.zeros_like(x_even[:1])])
+        rhs_odd = (b_odd - jnp.einsum("kij,ki->kj", A, x_even)
+                   - jnp.einsum("kij,kj->ki", B, x_right))
+        x_odd = _cho_solve_b(c, rhs_odd)
+        return jnp.stack([x_even, x_odd], axis=1).reshape(-1, n)
+
+    return rec(0, b)[:m_orig].reshape(-1)
 
 
 def _solve_factored(C, M, b):
@@ -395,10 +512,24 @@ def solve_reduced_banded(problem: Problem, config: BAConfig,
     Mirrors `linear.solve_reduced` numerically (same Jacobi scaling, same
     relative eps damping) so the two paths agree to f64 roundoff.
     """
-    dtype = bs.rhs_sc.dtype
     band = band_S(problem, config, bs, P, D)
-    B = config.band_width
-    rhs_sc = bs.rhs_sc
+    delta_p, ok = banded_pcg_solve(band, bs.rhs_sc, bs.col_mask, config,
+                                   P, D)
+    delta_l = cg_mod.back_substitute_blocks(bs, delta_p, P, D, 0)
+    return GnStep(delta_p=delta_p, delta_l=delta_l, ok=ok)
+
+
+def banded_pcg_solve(band, rhs_sc, col_mask, config: BAConfig,
+                     P: int, D: int):
+    """Factor + solve the assembled band: Jacobi scaling, chunked
+    block-tridiagonal Cholesky (or batched block cyclic reduction), short
+    PCG wrap.  Returns (delta_p, ok).
+
+    Pure function of the (replicated) band — runs unchanged inside
+    shard_map after the per-shard partial bands are psum'd
+    (`parallel.shard._sharded_build_banded`)."""
+    dtype = rhs_sc.dtype
+    B = band.shape[1]
 
     # Jacobi scaling in band form: band'[p,d,i,j] = s[p,i] band s[p+d,j]
     diag = jnp.diagonal(band[:, 0], axis1=-2, axis2=-1)       # (P, D)
@@ -427,7 +558,13 @@ def solve_reduced_banded(problem: Problem, config: BAConfig,
         bandF = band_p
 
     Dg, Eg = jax.vmap(lambda b_: _chunk_windows(b_, chunk))(bandF)
-    C, M, okF = jax.vmap(_factor)(Dg, Eg)     # (F, n_c, n, n) factors
+    # log-depth batched cyclic reduction when the chunk chain is deep
+    # enough to be latency-bound; the 2-chunk system has nothing to gain
+    use_bcr = config.banded_cyclic_reduction and n_c >= 4
+    if use_bcr:
+        levels, okF = jax.vmap(_bcr_factor)(Dg, Eg)
+    else:
+        C, M, okF = jax.vmap(_factor)(Dg, Eg)     # (F, n_c, n, n) factors
     ok = jnp.all(okF)
 
     # The chunked block-tridiagonal Cholesky is an EXACT factorization of
@@ -451,9 +588,14 @@ def solve_reduced_banded(problem: Problem, config: BAConfig,
     def precond(r):
         rF = r.reshape(F, P_w * D)
         rF = jnp.pad(rF, ((0, 0), (0, (Pp_w - P_w) * D)))
-        z = jax.vmap(lambda Ci, Mi, bi:
-                     _solve_factored(Ci, Mi, bi.reshape(n_c, chunk * D)))(
-                         C, M, rF)
+        if use_bcr:
+            z = jax.vmap(lambda lv, bi: _bcr_solve(
+                lv, bi.reshape(n_c, chunk * D), n_c))(levels, rF)
+        else:
+            z = jax.vmap(lambda Ci, Mi, bi:
+                         _solve_factored(Ci, Mi,
+                                         bi.reshape(n_c, chunk * D)))(
+                             C, M, rF)
         return z[:, : P_w * D].reshape(-1)
 
     b = rhs_sc * scal.reshape(-1)
@@ -501,7 +643,5 @@ def solve_reduced_banded(problem: Problem, config: BAConfig,
     ok = ok & (r @ r <= b @ b)
 
     delta_p = jnp.where(jnp.isfinite(delta_p), delta_p, 0.0)
-    delta_p = jnp.where(bs.col_mask, delta_p, 0.0)
-
-    delta_l = cg_mod.back_substitute_blocks(bs, delta_p, P, D, 0)
-    return GnStep(delta_p=delta_p, delta_l=delta_l, ok=ok)
+    delta_p = jnp.where(col_mask, delta_p, 0.0)
+    return delta_p, ok

@@ -36,6 +36,10 @@ def run_one(n_poses, n_lms, solver, n_iters=10):
     elif solver == "bandsolve":
         cfg = dc.replace(cfg, band_width=band_width_of(problem),
                          use_banded_solver=True)
+    elif solver == "bandscan":  # bandsolve with the sequential scan factor
+        cfg = dc.replace(cfg, band_width=band_width_of(problem),
+                         use_banded_solver=True,
+                         banded_cyclic_reduction=False)
     elif solver == "sob":
         cfg = dc.replace(cfg, band_width=band_width_of(problem),
                          schur_on_band=True)

@@ -387,3 +387,52 @@ def test_banded_xyz_landmarks():
                                rtol=1e-7, atol=1e-10)
     np.testing.assert_allclose(np.asarray(costs2), np.asarray(costs0),
                                rtol=1e-4, atol=1e-8)
+
+
+def test_bcr_factor_solve_matches_dense_oracle():
+    """Block cyclic reduction == dense solve on random SPD block-tridiagonal
+    systems, including non-power-of-two chunk counts (padding path)."""
+    from ba_tpu.solver.banded import _bcr_factor, _bcr_solve
+
+    rng = np.random.default_rng(3)
+    for m, n in [(4, 8), (5, 6), (7, 10), (16, 12), (33, 6)]:
+        Dg = rng.standard_normal((m, n, n))
+        Dg = np.einsum("kij,klj->kil", Dg, Dg) + 5 * n * np.eye(n)[None]
+        Eg = rng.standard_normal((m, n, n)) * 0.3
+        Eg[m - 1] = 0
+        b = rng.standard_normal((m, n))
+        A = np.zeros((m * n, m * n))
+        for i in range(m):
+            A[i * n:(i + 1) * n, i * n:(i + 1) * n] = Dg[i]
+            if i + 1 < m:
+                A[i * n:(i + 1) * n, (i + 1) * n:(i + 2) * n] = Eg[i]
+                A[(i + 1) * n:(i + 2) * n, i * n:(i + 1) * n] = Eg[i].T
+        x_ref = np.linalg.solve(A, b.reshape(-1))
+        levels, ok = _bcr_factor(jnp.asarray(Dg), jnp.asarray(Eg))
+        assert bool(ok)
+        x = np.asarray(_bcr_solve(levels, jnp.asarray(b), m))
+        np.testing.assert_allclose(x, x_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_bcr_full_solver_matches_scan_factor():
+    """solve_reduced_banded with cyclic reduction (n_c >= 4 engages it:
+    P=80, chunk=16 -> n_c=5) == the sequential scan factorization and
+    == the dense path, on a VI problem with masked dims."""
+    from ba_tpu.solver.step import _build_and_solve
+
+    problem, cfg = _problem(n_poses=80, n_lms=200)
+    cfg_b = _banded_cfg(problem, cfg)
+    assert cfg_b.banded_cyclic_reduction  # default on
+    cfg_scan = dataclasses.replace(cfg_b, banded_cyclic_reduction=False)
+
+    d0 = _build_and_solve(problem, cfg, True)        # dense oracle
+    d1 = _build_and_solve(problem, cfg_b, True)      # BCR
+    d2 = _build_and_solve(problem, cfg_scan, True)   # scan
+    assert bool(d1.step.ok) and bool(d2.step.ok)
+    scale = np.abs(np.asarray(d0.step.delta_p)).max()
+    np.testing.assert_allclose(np.asarray(d1.step.delta_p),
+                               np.asarray(d0.step.delta_p),
+                               rtol=1e-3, atol=1e-3 * scale)
+    np.testing.assert_allclose(np.asarray(d1.step.delta_p),
+                               np.asarray(d2.step.delta_p),
+                               rtol=1e-6, atol=1e-9 * scale)

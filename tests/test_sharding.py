@@ -373,3 +373,78 @@ def test_multihost_glue_single_process():
     r_ref = step_mod.gn_iteration(problem, cfg, False, 1.0, False)
     np.testing.assert_allclose(float(r.post_cost), float(r_ref.post_cost),
                                rtol=1e-6, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Banded-in-shard_map: the band of S crosses the ICI (O(P*B*D^2)), never a
+# dense (N, N) matrix (use_banded_solver under the sharded entry points)
+# ---------------------------------------------------------------------------
+
+
+def _banded_vins_problem(n_poses, n_lms, seed=0, pose_dim=9):
+    """simulate_vins scene (limited visibility -> a real band), partitioned
+    by landmark over 8 shards, banded config."""
+    from ba_tpu.core.problem import BAConfig
+    from ba_tpu.io import simulate_vins as sv
+    from ba_tpu.parallel.partition import partition_by_landmark
+    from ba_tpu.solver.assemble import band_width_of
+
+    cfg = BAConfig(pose_dim=pose_dim, lm_size=1, use_dogleg=False)
+    sim = sv.simulate(n_poses=n_poses, n_lms=n_lms, seed=seed)
+    problem, _, _ = sv.build_problem(sim, cfg, perturb=0.02, seed=seed + 1)
+    cfg = dataclasses.replace(cfg, band_width=band_width_of(problem),
+                              use_banded_solver=True)
+    problem = partition_by_landmark(problem, cfg, 8)
+    problem = _pad_pose_tables(problem, 8)
+    problem = prepare_landmarks(problem, cfg)
+    return problem, cfg
+
+
+def test_sharded_banded_gn_matches_single_banded():
+    """Landmark-sharded banded GN == single-device banded GN, per
+    iteration (scan-factor regime: few chunks)."""
+    problem, cfg = _banded_vins_problem(n_poses=24, n_lms=64)
+    mesh = shard.make_mesh(8)
+    p_single = problem
+    p_shard = jax.device_put(
+        problem, shard.problem_shardings(problem, mesh,
+                                         landmark_sharded=True))
+    for _ in range(4):
+        r1 = step_mod.gn_iteration(p_single, cfg, False, 1.0, False)
+        r2 = shard.sharded_gn_iteration_lm(p_shard, cfg, False, mesh)
+        np.testing.assert_allclose(float(r1.pre_cost), float(r2.pre_cost),
+                                   rtol=1e-6, atol=1e-11)
+        np.testing.assert_allclose(float(r1.post_cost),
+                                   float(r2.post_cost), rtol=1e-6,
+                                   atol=1e-9)
+        p_single, p_shard = r1.problem, r2.problem
+    assert float(r2.post_cost) < float(r2.pre_cost) or \
+        float(r2.post_cost) < 1e-3
+
+
+def test_sharded_banded_bcr_matches_single():
+    """80-pose window: the chunk chain is 5 long, so the sharded banded
+    path runs the batched BLOCK CYCLIC REDUCTION factorization inside
+    shard_map; must still match the single-device step."""
+    problem, cfg = _banded_vins_problem(n_poses=80, n_lms=200, seed=2)
+    assert cfg.banded_cyclic_reduction
+    mesh = shard.make_mesh(8)
+    p_shard = jax.device_put(
+        problem, shard.problem_shardings(problem, mesh,
+                                         landmark_sharded=True))
+    r1 = step_mod.gn_iteration(problem, cfg, False, 1.0, False)
+    r2 = shard.sharded_gn_iteration_lm(p_shard, cfg, False, mesh)
+    np.testing.assert_allclose(float(r1.pre_cost), float(r2.pre_cost),
+                               rtol=1e-8)
+    np.testing.assert_allclose(float(r1.post_cost), float(r2.post_cost),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_banded_solve_fixed_converges():
+    problem, cfg = _banded_vins_problem(n_poses=24, n_lms=64, seed=5)
+    mesh = shard.make_mesh(8)
+    p_shard = jax.device_put(
+        problem, shard.problem_shardings(problem, mesh,
+                                         landmark_sharded=True))
+    out, costs, _ = shard.sharded_solve_fixed(p_shard, cfg, False, mesh, 8)
+    assert float(costs[-1]) < 1e-3, costs
