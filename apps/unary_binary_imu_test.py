@@ -138,7 +138,21 @@ def parse_log(path: str):
     """Parse either the reference whitespace format or the CSV alternate.
 
     Returns (imu_rows (N, 7) ndarray, gps list of (t, x, y, z),
-    guesses list of (q, t) dead-reckoned pose increments per GPS fix)."""
+    guesses list of (q, t) dead-reckoned pose increments per GPS fix).
+
+    Dispatches to the native C++ parser+dead-reckoner when available
+    (ba_tpu.native.parse_log — the reference's parse_file/f_gps stage is
+    host C++ too, main.cpp:40-280); this Python implementation is the
+    semantically-identical fallback (tests/test_native.py cross-checks)."""
+    from ba_tpu import native
+
+    if native.available():
+        return native.parse_log(path, MAX_POSES)
+    return parse_log_py(path)
+
+
+def parse_log_py(path: str):
+    """Pure-Python fallback of `parse_log` (identical contract)."""
     text = Path(path).read_text()
     dr = DeadReckoner()
     imu_rows, gps, guesses = [], [], []

@@ -103,6 +103,10 @@ class BAConfig:
     # (block elimination in odd-even order); both forms sit inside the
     # same short PCG wrap.  False keeps the scan.
     banded_cyclic_reduction: bool = True
+    # chunk length (in poses) of the block-tridiagonal chunking; 0 = auto
+    # (16, clamped to [band_width, P_window]).  The clamp keeps the
+    # chunked system exactly block-tridiagonal (chunk >= band width).
+    banded_chunk: int = 0
     # fleet layout (concat_problems): the pose axis is F independent
     # equal-length windows back to back.  The banded solver exploits it by
     # batching the chunked block-tridiagonal factorization ACROSS windows

@@ -20,7 +20,8 @@ import numpy as np
 
 _DIR = Path(__file__).resolve().parent
 _SO = _DIR / "_ba_native.so"
-_SOURCES = ["interpolation_buffer.cc", "problem_builder.cc"]
+_SOURCES = ["interpolation_buffer.cc", "problem_builder.cc",
+            "log_parser.cc"]
 
 _lib = None
 
@@ -102,6 +103,14 @@ def _declare(lib):
     lib.pb_pack_imu.argtypes = [vp, i, i32p, i32p, dp, dp, dp, u8p, u8p,
                                 u8p]
 
+    lib.lp_parse.restype = vp
+    lib.lp_parse.argtypes = [ctypes.c_char_p, i]
+    lib.lp_counts.argtypes = [vp, i64p]
+    lib.lp_imu.argtypes = [vp, dp]
+    lib.lp_gps.argtypes = [vp, dp]
+    lib.lp_guesses.argtypes = [vp, dp, dp]
+    lib.lp_destroy.argtypes = [vp]
+
 
 def _dptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
@@ -153,6 +162,38 @@ class InterpolationBuffer:
         self._lib.ib_get_range(self._h, float(t_start), float(t_end),
                                _dptr(times), _dptr(values))
         return times, values
+
+
+def parse_log(path, max_poses: int = 0):
+    """Native parse + dead-reckon of a GPS/IMU/odometry log
+    (reference parse_file + update_incremental_pose + add_gyro_and_speed,
+    applications/unary_binary_imu_test/main.cpp:40-280; both the
+    whitespace ODO/UTM/IMU format and the CSV alternate).
+
+    Returns (imu_rows (N, 7) float64, gps list of (t, x, y, z) tuples,
+    guesses list of (q (4,), t (3,)) arrays) — the exact return contract
+    of the pure-Python apps/unary_binary_imu_test.parse_log fallback.
+    Raises FileNotFoundError on an unreadable path."""
+    lib = load()
+    h = lib.lp_parse(str(path).encode(), int(max_poses))
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        counts = np.zeros(2, np.int64)
+        lib.lp_counts(h, counts.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)))
+        n_imu, n_gps = map(int, counts)
+        imu = np.zeros((n_imu, 7))
+        gps = np.zeros((n_gps, 4))
+        gq = np.zeros((n_gps, 4))
+        gt = np.zeros((n_gps, 3))
+        lib.lp_imu(h, _dptr(imu))
+        lib.lp_gps(h, _dptr(gps))
+        lib.lp_guesses(h, _dptr(gq), _dptr(gt))
+    finally:
+        lib.lp_destroy(h)
+    return (imu, [tuple(r) for r in gps],
+            [(gq[i], gt[i]) for i in range(n_gps)])
 
 
 class NativeProblemBuilder:

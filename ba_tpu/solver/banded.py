@@ -547,7 +547,7 @@ def banded_pcg_solve(band, rhs_sc, col_mask, config: BAConfig,
 
     # chunk size >= B makes the system block-tridiagonal in chunks; pad
     # each window with identity diagonal blocks
-    chunk = max(B, min(P_w, 16))
+    chunk = max(B, min(P_w, config.banded_chunk or 16))
     n_c = -(-P_w // chunk)
     Pp_w = n_c * chunk
     bandF = band_s.reshape(F, P_w, B, D, D)

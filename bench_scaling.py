@@ -15,7 +15,7 @@ import time
 import jax
 
 
-def run_one(n_poses, n_lms, solver, n_iters=10):
+def run_one(n_poses, n_lms, solver, n_iters=10, pcg=0, chunk=0):
     import dataclasses as dc
 
     import numpy as np
@@ -35,11 +35,13 @@ def run_one(n_poses, n_lms, solver, n_iters=10):
         cfg = dc.replace(cfg, band_width=band_width_of(problem))
     elif solver == "bandsolve":
         cfg = dc.replace(cfg, band_width=band_width_of(problem),
-                         use_banded_solver=True)
+                         use_banded_solver=True,
+                         banded_pcg_iterations=pcg, banded_chunk=chunk)
     elif solver == "bandscan":  # bandsolve with the sequential scan factor
         cfg = dc.replace(cfg, band_width=band_width_of(problem),
                          use_banded_solver=True,
-                         banded_cyclic_reduction=False)
+                         banded_cyclic_reduction=False,
+                         banded_pcg_iterations=pcg, banded_chunk=chunk)
     elif solver == "sob":
         cfg = dc.replace(cfg, band_width=band_width_of(problem),
                          schur_on_band=True)
@@ -66,6 +68,10 @@ def main():
     ap.add_argument("--sizes", default="64,128,256,512,1024")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--solvers", default="dense,band,cg")
+    ap.add_argument("--pcg", type=int, default=0,
+                    help="banded_pcg_iterations override (0 = auto)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="banded_chunk override (0 = auto 16)")
     ap.add_argument("--x64", action="store_true",
                     help="enable x64 (problems stay f32; the banded "
                          "direct solver factorizes its small band in f64)")
@@ -85,7 +91,8 @@ def main():
         lms = p * 4
         for solver in args.solvers.split(","):
             try:
-                kf_s, ms, cost = run_one(p, lms, solver, args.iters)
+                kf_s, ms, cost = run_one(p, lms, solver, args.iters,
+                                         args.pcg, args.chunk)
             except Exception as e:  # noqa: BLE001 — record OOM/compile fails
                 rows.append(dict(P=p, L=lms, solver=solver,
                                  error=str(e)[:120]))

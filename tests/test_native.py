@@ -130,3 +130,32 @@ def test_native_builder_solves():
     solved, summary = step_mod.solve(problem, cfg, max_iter=15,
                                      use_imu=False)
     assert summary.final_cost < 1e-4, summary
+
+
+def test_native_log_parser_matches_python(tmp_path):
+    """Native C++ parse+dead-reckon == the pure-Python fallback on a
+    synthetic reference-format log (ODO/UTM/IMU) and on the CSV
+    alternate, including the dead-reckoned guesses and UTM re-basing."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "apps"))
+    import unary_binary_imu_test as app
+
+    for fmt in ("ref", "csv"):
+        path = tmp_path / f"log_{fmt}.txt"
+        app.generate_log(str(path), n_gps=12, fmt=fmt)
+        imu_n, gps_n, gu_n = native.parse_log(str(path), app.MAX_POSES)
+        imu_p, gps_p, gu_p = app.parse_log_py(str(path))
+        np.testing.assert_allclose(imu_n, imu_p, rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(gps_n), np.asarray(gps_p),
+                                   rtol=1e-15, atol=0)
+        assert len(gu_n) == len(gu_p)
+        for (qn, tn), (qp, tp) in zip(gu_n, gu_p):
+            np.testing.assert_allclose(qn, qp, rtol=1e-12, atol=1e-15)
+            np.testing.assert_allclose(tn, tp, rtol=1e-12, atol=1e-15)
+
+
+def test_native_log_parser_missing_file():
+    with pytest.raises(FileNotFoundError):
+        native.parse_log("/nonexistent/log.txt")
