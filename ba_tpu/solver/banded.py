@@ -506,8 +506,10 @@ def solve_reduced_fleet_dense(problem: Problem, config: BAConfig,
 
 def solve_reduced_banded(problem: Problem, config: BAConfig,
                          bs: cg_mod.BlockSystem, P: int, D: int) -> GnStep:
-    """Banded S assembly + chunked block-tridiagonal Cholesky + one step of
-    iterative refinement + matrix-free landmark back-substitution.
+    """Banded S assembly + chunked block-tridiagonal factorization (batched
+    cyclic reduction by default, sequential scan otherwise) used as the
+    preconditioner of a short PCG wrap + matrix-free landmark
+    back-substitution.
 
     Mirrors `linear.solve_reduced` numerically (same Jacobi scaling, same
     relative eps damping) so the two paths agree to f64 roundoff.

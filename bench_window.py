@@ -28,9 +28,16 @@ def main():
     ap.add_argument("--iters-per-slide", type=int, default=2)
     ap.add_argument("--vehicles", type=int, default=1,
                     help="vmap the whole pipeline over B independent "
-                         "trajectories (fleet VIO serving): the slide "
-                         "step is tiny-op latency-bound, so batching "
-                         "vehicles multiplies retire throughput")
+                         "trajectories (fleet VIO serving).  Measured "
+                         "2026-08-20: the full-problem slide step is "
+                         "REAL-work bound (costs scale ~linearly with "
+                         "B), so vmap does not amortize it — use --ring")
+    ap.add_argument("--ring", action="store_true",
+                    help="ring-buffer compact window (solver/fixedlag): "
+                         "O(window) work per slide instead of "
+                         "O(trajectory); the fix for the full-problem "
+                         "pipeline evaluating every pose's rows per "
+                         "slide")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -70,7 +77,20 @@ def main():
 
         return jax.lax.scan(slide, problem, jnp.arange(n_slides))
 
-    if args.vehicles > 1:
+    if args.ring:
+        from ba_tpu.solver import fixedlag
+
+        scheds = [fixedlag.build_ring_schedule(v, cfg, args.window)
+                  for v in vehicles]
+
+        def run_ring_all(_ignored=None):
+            outs = [fixedlag.run_ring(s, cfg, True, args.iters_per_slide)
+                    for s in scheds]
+            return None, jnp.stack([c for _, c in outs])
+
+        run = jax.jit(run_ring_all)
+        problem = None
+    elif args.vehicles > 1:
         from ba_tpu.core.problem import stack_problems
 
         problem = stack_problems(vehicles)
@@ -87,7 +107,8 @@ def main():
     final_costs = np.asarray(out[1])
 
     print(json.dumps({
-        "metric": "fixed_lag_slides_per_s",
+        "metric": ("fixed_lag_slides_per_s_ring" if args.ring
+                   else "fixed_lag_slides_per_s"),
         "value": round(args.vehicles * n_slides / elapsed, 2),
         "unit": "keyframes/s",
         "window": args.window,

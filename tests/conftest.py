@@ -68,6 +68,7 @@ _SLOW_TESTS = {
     "test_assembly_matches_dense_oracle",
     "test_cg_step_matches_dense",
     "test_gn_rollback_on_error_increase",
+    "test_ring_matches_masked_full_oracle",
 }
 
 
