@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--lms", type=int, default=120)
     ap.add_argument("--perturb", type=float, default=0.02)
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--ring", action="store_true",
+                    help="ring-buffer compact window (solver/fixedlag): "
+                         "O(window) per slide, one XLA program for the "
+                         "whole trajectory; prints the retired-keyframe "
+                         "trajectory ATE")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +63,32 @@ def main():
     # banded-grid assembly fast path (host-side, structure is static)
     cfg = dataclasses.replace(cfg, band_width=band_width_of(problem))
     P = problem.poses.q.shape[0]
+
+    if args.ring:
+        from ba_tpu.core.problem import prepare_landmarks
+        from ba_tpu.solver import fixedlag
+
+        cfg_r = dataclasses.replace(cfg, band_width=0)  # compact: dense
+        pr = prepare_landmarks(problem, cfg_r)
+        with timing.span("build_schedule"):
+            sched = fixedlag.build_ring_schedule(pr, cfg_r, args.window)
+        run = lambda: fixedlag.run_ring(sched, cfg_r, True, 2)  # noqa: E731
+        with timing.span("compile+first_run"):
+            _, outs = run()
+            jax.block_until_ready(outs["cost"])
+        t0 = time.perf_counter()
+        _, outs = run()
+        jax.block_until_ready(outs["cost"])
+        dt = time.perf_counter() - t0
+        n = sched.n_slides
+        t_est = np.asarray(outs["t"])
+        ate = sv.ate(None, t_est, None, sim.t_wv[:n])
+        print(f"ring: {n} keyframes retired in {dt * 1e3:.1f} ms "
+              f"({n / dt:.1f}/s); retired-trajectory ATE: "
+              f"{ate * 100:.3f} cm; last window cost "
+              f"{float(outs['cost'][-1]):.4g}")
+        print(timing.report())
+        return 0
 
     p = problem
     n_marg = args.poses - args.window

@@ -32,6 +32,7 @@ fresh problem (no pre-existing marginalization prior).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
@@ -299,17 +300,29 @@ def build_ring_schedule(problem: Problem, config: BAConfig, W: int,
 
 def run_ring(schedule: RingSchedule, config: BAConfig, use_imu: bool,
              iters_per_slide: int):
-    """Scan the ring pipeline; returns (final_carry, per-slide last costs).
+    """Scan the ring pipeline; returns (final_carry, outs) where outs is a
+    dict of per-slide stacks: `cost` (last GN cost) and the retired
+    keyframe's post-solve estimate `q`/`t`/`v`/`b` — i.e. the smoother's
+    optimized trajectory for poses [0, n_slides).
 
     The whole trajectory is ONE XLA program; per-slide work is O(W), not
-    O(P_total)."""
+    O(P_total).  Jits internally with the stacked tables as ARGUMENTS —
+    do not wrap in an outer jit that closes over the schedule, or the
+    tables are baked into the program as constants (bloats the HLO enough
+    to kill remote compiles)."""
+    return _run_ring_jit(schedule.inputs, schedule.carry0, schedule.rig,
+                         schedule.g_vec, config, use_imu, iters_per_slide,
+                         schedule.W, schedule.L_w)
+
+
+@partial(jax.jit, static_argnames=("config", "use_imu", "iters_per_slide",
+                                   "W", "L_w"))
+def _run_ring_jit(inputs, carry0, rig, g_vec, config: BAConfig,
+                  use_imu: bool, iters_per_slide: int, W: int, L_w: int):
     from .step import solve_fixed
     from .window import apply_marginalization
 
-    W, L_w = schedule.W, schedule.L_w
-    rig, g_vec = schedule.rig, schedule.g_vec
-    dtype = schedule.carry0[1].dtype
-    Ni_m = schedule.inputs["imu_w"].shape[2]
+    dtype = carry0[1].dtype
 
     def slide(carry, inp):
         q, t, v, b, lx, marg = carry
@@ -378,7 +391,13 @@ def run_ring(schedule: RingSchedule, config: BAConfig, use_imu: bool,
         p2 = apply_marginalization(problem, config, use_imu, drop)
         new_carry = (p2.poses.q, p2.poses.t, p2.poses.v, p2.poses.b,
                      p2.lms.x, p2.marg)
-        return new_carry, costs[-1]
+        # the retiring pose's post-solve estimate IS the smoother's output
+        # for that keyframe — emit it so the scan yields the full
+        # optimized trajectory
+        s = inp["drop_slot"]
+        out = dict(cost=costs[-1], q=p2.poses.q[s], t=p2.poses.t[s],
+                   v=p2.poses.v[s], b=p2.poses.b[s])
+        return new_carry, out
 
-    del Ni_m
-    return jax.lax.scan(slide, schedule.carry0, schedule.inputs)
+    carry, outs = jax.lax.scan(slide, carry0, inputs)
+    return carry, outs

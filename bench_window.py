@@ -86,9 +86,9 @@ def main():
         def run_ring_all(_ignored=None):
             outs = [fixedlag.run_ring(s, cfg, True, args.iters_per_slide)
                     for s in scheds]
-            return None, jnp.stack([c for _, c in outs])
+            return None, jnp.stack([o["cost"] for _, o in outs])
 
-        run = jax.jit(run_ring_all)
+        run = run_ring_all          # run_ring jits internally
         problem = None
     elif args.vehicles > 1:
         from ba_tpu.core.problem import stack_problems

@@ -73,12 +73,22 @@ def test_ring_matches_masked_full_oracle():
     n_slides = int(problem.poses.q.shape[0]) - W
 
     sched = fixedlag.build_ring_schedule(problem, cfg, W, n_slides)
-    (q, t, v, b, lx, marg), ring_costs = jax.jit(
-        lambda s=sched: fixedlag.run_ring(s, cfg, True, iters))()
+    (q, t, v, b, lx, marg), outs = fixedlag.run_ring(sched, cfg, True,
+                                                     iters)
     oracle, oracle_costs = _oracle(problem, cfg, W, n_slides, iters)
 
-    np.testing.assert_allclose(np.asarray(ring_costs), oracle_costs,
+    np.testing.assert_allclose(np.asarray(outs["cost"]), oracle_costs,
                                rtol=1e-6, atol=1e-10)
+
+    # the emitted retired-keyframe trajectory: pose k's estimate at the
+    # moment it was marginalized.  The oracle's final states for retired
+    # poses are exactly that (inactive poses never move afterwards).
+    np.testing.assert_allclose(np.asarray(outs["t"]),
+                               np.asarray(oracle.poses.t[:n_slides]),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(outs["q"]),
+                               np.asarray(oracle.poses.q[:n_slides]),
+                               rtol=1e-6, atol=1e-8)
 
     # final surviving window states: after slide n_slides-1 (window
     # [n_slides-1, n_slides+W-1)) retires pose n_slides-1, the live poses
@@ -108,8 +118,7 @@ def test_ring_cost_decreases_and_converges():
     problem, cfg = _problem(n_poses=32, n_lms=128, seed=3)
     W = 8
     sched = fixedlag.build_ring_schedule(problem, cfg, W)
-    _, costs = jax.jit(
-        lambda s=sched: fixedlag.run_ring(s, cfg, True, 2))()
-    costs = np.asarray(costs)
+    _, outs = fixedlag.run_ring(sched, cfg, True, 2)
+    costs = np.asarray(outs["cost"])
     assert costs.shape[0] == 32 - 8
     assert float(costs[-1]) < 1e-4, costs
