@@ -75,6 +75,11 @@ def build_ring_schedule(problem: Problem, config: BAConfig, W: int,
 
     Slide k solves the window of global poses [k, k+W) and retires pose k;
     pose k+W and the landmarks anchored in the window enter at slide k+1.
+
+    Host cost is O(n_slides * window-table size) (one
+    `build_structure_index` per slide) — a one-time offline build.  In an
+    online smoother the same tables are built incrementally per arriving
+    keyframe, which is the per-slide slice of this loop.
     """
     assert config.calib_dim == 0, "ring window: no calibration block"
     assert not config.use_per_pose_cam_params
