@@ -12,6 +12,13 @@
 // keeps a pure-Python fallback with identical semantics
 // (tests/test_native.py cross-checks the two).
 //
+// Intentional divergence from the reference: when the UTM max_poses cap is
+// reached, the reference breaks out of the parse loop entirely
+// (main.cpp:259-263); here (and in the Python fallback, whose contract this
+// file matches bit-for-bit) parsing continues — further UTM records are
+// dropped but ODO/IMU records keep integrating.  The extra IMU rows are
+// unused by the app (residual spans only reach the last kept fix).
+//
 // C ABI (ctypes-bound in ba_tpu/native/__init__.py):
 //   lp_parse(path, max_poses) -> handle (NULL on unreadable file)
 //   lp_counts(h, int64 out[2])           n_imu, n_gps

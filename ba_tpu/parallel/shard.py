@@ -142,10 +142,17 @@ def sharded_gn_iteration(problem: Problem, config: BAConfig, use_imu: bool,
         lambda x, y: jnp.where(accept, x, y), candidate, problem)
     dn = gn_damping * jnp.sqrt(jnp.sum(step.delta_p**2)
                                + jnp.sum(step.delta_l**2))
-    return IterResult(problem=out, pre_cost=a.cost, post_cost=post,
-                      delta_norm=dn, accepted=accept,
+    # rejected iterations report the *committed* state's cost and a zero
+    # step (same contract as step.gn_iteration, step.py:271-274): the
+    # trial cost was never applied, so convergence logic must not see it
+    return IterResult(problem=out, pre_cost=a.cost,
+                      post_cost=jnp.where(accept, post, a.cost),
+                      delta_norm=jnp.where(accept, dn, 0.0),
+                      accepted=accept,
                       trust_radius=jnp.zeros_like(a.cost),
-                      solver_ok=step.ok)
+                      solver_ok=step.ok,
+                      pre_solve_norm=a.cost, post_solve_norm=post,
+                      inner_trials=jnp.ones((), jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -443,16 +450,89 @@ def _sharded_build_banded(problem: Problem, config: BAConfig,
     )(problem, colm, colm6)
 
 
+def _sharded_build_banded_dense(problem: Problem, config: BAConfig,
+                                use_imu: bool, mesh: Mesh):
+    """Banded-Schur assembly (ONE band psum) + replicated DENSE Cholesky
+    carrying the dense FEJ marginalization prior — the DISTRIBUTED
+    sliding-window path (the `schur_on_band` twin of
+    `_sharded_build_banded`).
+
+    The prior is a replicated dense (N, N) factor that cannot ride the
+    band, so the ICI still carries only the O(P·B·D²) band of the
+    residual families' S; the prior joins at the dense stage after the
+    psum (`banded.banded_dense_solve`).  Closes the round-4 banded/marg
+    mutual exclusion (VERDICT item 5).  Same return signature as
+    `_sharded_build_lm`."""
+    D, K, Pn, L, lm, N = asm.dims(problem, config)
+    n_dev = mesh.devices.size
+    Lk = L // n_dev
+    dtype = problem.poses.t.dtype
+    colm = asm.col_mask(problem, config).astype(dtype)
+    colm6 = asm.col_mask(problem, config, 6).astype(dtype)
+
+    from ..solver import banded as banded_mod
+    from ..solver import cg as cg_mod
+
+    row = P(AXIS)
+    repl = P()
+
+    def rows_except_scalars(table):
+        return jax.tree_util.tree_map(
+            lambda a: row if a.ndim else repl, table)
+
+    in_specs = dataclasses.replace(
+        jax.tree_util.tree_map(lambda _: repl, problem),
+        proj=rows_except_scalars(problem.proj),
+        unary=rows_except_scalars(problem.unary),
+        binary=rows_except_scalars(problem.binary),
+        imu=rows_except_scalars(problem.imu),
+        lms=rows_except_scalars(problem.lms),
+    )
+
+    def local(problem_shard, colm_, colm6_):
+        k = jax.lax.axis_index(AXIS)
+        pr_local = dataclasses.replace(
+            problem_shard.proj, lm=problem_shard.proj.lm - k * Lk)
+        p_local = dataclasses.replace(problem_shard, proj=pr_local)
+        ie = _imu_eval(p_local, config, True, True) if use_imu else None
+        bs, marg_H = cg_mod.assemble_blocks(
+            p_local, config, ie, axis_name=AXIS, lm_offset=k * Lk,
+            with_precond=False)
+        band_part = banded_mod.band_S(p_local, config, bs, Pn, D,
+                                      lm_offset=k * Lk, add_identity=False)
+        band = jax.lax.psum(band_part, AXIS)
+        band = banded_mod.band_add_identity(band, bs.col_mask, Pn, D)
+        delta_p, ok = banded_mod.banded_dense_solve(
+            band, bs.rhs_sc, bs.col_mask, marg_H)
+        delta_l = cg_mod.back_substitute_blocks(bs, delta_p, Pn, D, 0)
+        alpha = cg_mod.cauchy_factor(bs, marg_H, Pn, D, K, axis_name=AXIS)
+        return (delta_p, delta_l, bs.rhs_p, bs.rhs_l, bs.cost,
+                alpha, ok, bs.proj_w)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(in_specs, repl, repl),
+        out_specs=(repl, P(AXIS), repl, P(AXIS), repl, repl, repl,
+                   P(AXIS)),
+        check_vma=False,
+    )(problem, colm, colm6)
+
+
 def _sharded_build(problem, config, use_imu, mesh):
     """Dispatch: banded (use_banded_solver, same static gate as the
-    single-device `_build_and_solve`), matrix-free CG (use_cg_solver), or
-    dense replicated-S."""
+    single-device `_build_and_solve`), banded-Schur + dense-with-prior
+    (schur_on_band — the distributed sliding window), matrix-free CG
+    (use_cg_solver), or dense replicated-S."""
     D, K, Pn, _, _, _ = asm.dims(problem, config)
     banded_ok = (config.use_banded_solver
                  and 0 < config.band_width <= Pn and K == 0
                  and problem.marg.H.shape[0] != Pn * D)
     if banded_ok:
         return _sharded_build_banded(problem, config, use_imu, mesh)
+    sob_ok = (config.schur_on_band and not banded_ok
+              and 0 < config.band_width <= Pn and K == 0)
+    if sob_ok:
+        return _sharded_build_banded_dense(problem, config, use_imu, mesh)
     build = _sharded_build_cg if config.use_cg_solver else _sharded_build_lm
     return build(problem, config, use_imu, mesh)
 
@@ -474,9 +554,14 @@ def sharded_gn_iteration_lm(problem: Problem, config: BAConfig,
     out = jax.tree_util.tree_map(
         lambda x, y: jnp.where(accept, x, y), candidate, problem)
     dn = gn_damping * jnp.sqrt(jnp.sum(delta_p**2) + jnp.sum(delta_l**2))
-    return IterResult(problem=out, pre_cost=cost, post_cost=post,
-                      delta_norm=dn, accepted=accept,
-                      trust_radius=jnp.zeros_like(cost), solver_ok=ok)
+    # rejected-cost contract: see sharded_gn_iteration / step.py:271-274
+    return IterResult(problem=out, pre_cost=cost,
+                      post_cost=jnp.where(accept, post, cost),
+                      delta_norm=jnp.where(accept, dn, 0.0),
+                      accepted=accept,
+                      trust_radius=jnp.zeros_like(cost), solver_ok=ok,
+                      pre_solve_norm=cost, post_solve_norm=post,
+                      inner_trials=jnp.ones((), jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("config", "use_imu", "mesh"))
@@ -495,7 +580,7 @@ def sharded_dogleg_iteration_lm(problem: Problem, config: BAConfig,
     d_gn = jnp.concatenate([delta_p, delta_l])
     d_sd = alpha * jnp.concatenate([rhs_p, rhs_l])
     Np = rhs_p.shape[0]
-    radius, accept, d, post = dogleg_search(
+    radius, accept, d, post, n_trials = dogleg_search(
         problem, config, use_imu, trust_radius, d_gn, d_sd, cost, w, None,
         Np)
     candidate = apply_update(problem, config, d[:Np], d[Np:])
@@ -505,7 +590,9 @@ def sharded_dogleg_iteration_lm(problem: Problem, config: BAConfig,
     return IterResult(problem=out, pre_cost=cost,
                       post_cost=jnp.where(accept, post, cost),
                       delta_norm=jnp.where(accept, dn, 0.0),
-                      accepted=accept, trust_radius=radius, solver_ok=ok)
+                      accepted=accept, trust_radius=radius, solver_ok=ok,
+                      pre_solve_norm=cost, post_solve_norm=post,
+                      inner_trials=n_trials)
 
 
 @partial(jax.jit, static_argnames=("config", "use_imu", "mesh", "n_iters",
@@ -570,3 +657,57 @@ def sharded_fleet_solve(problems: Problem, config: BAConfig, use_imu: bool,
 
     return jax.shard_map(local, mesh=mesh, in_specs=P(AXIS),
                          out_specs=P(AXIS), check_vma=False)(problems)
+
+
+# ---------------------------------------------------------------------------
+# Distributed sliding window, fleet form: independent ring pipelines (each
+# carrying its own compact FEJ marginalization prior) sharded across the
+# mesh — SURVEY §5.7 (fixed-lag) x §5.8 (distribution) combined.
+# ---------------------------------------------------------------------------
+
+
+def stack_ring_schedules(schedules):
+    """Stack same-shape RingSchedules along a leading fleet axis.
+
+    Returns (inputs, carry0, rig, g_vec) stacked pytrees for
+    `sharded_ring_fleet`.  All schedules must share W / L_w / n_slides and
+    padded table shapes (same size bucket)."""
+    W, L_w = schedules[0].W, schedules[0].L_w
+    assert all(s.W == W and s.L_w == L_w for s in schedules)
+    stk = lambda *xs: jnp.stack(xs)                      # noqa: E731
+    inputs = jax.tree_util.tree_map(stk, *[s.inputs for s in schedules])
+    carry0 = jax.tree_util.tree_map(stk, *[s.carry0 for s in schedules])
+    rig = jax.tree_util.tree_map(stk, *[s.rig for s in schedules])
+    g_vec = jnp.stack([s.g_vec for s in schedules])
+    return inputs, carry0, rig, g_vec
+
+
+@partial(jax.jit, static_argnames=("config", "use_imu", "mesh",
+                                   "iters_per_slide", "W", "L_w"))
+def sharded_ring_fleet(inputs, carry0, rig, g_vec, config: BAConfig,
+                       use_imu: bool, mesh: Mesh, iters_per_slide: int,
+                       W: int, L_w: int):
+    """Run B independent ring-buffer fixed-lag pipelines sharded across
+    the mesh — the multi-chip SERVING configuration for sliding-window
+    VIO: one stream (vehicle/session) per fleet slot, each slide solving
+    a compact W-pose window and folding the retiring keyframe into its
+    own (W·D)² FEJ prior.  Streams never couple, so each device scans its
+    local rings with ZERO collectives (perfect scaling by construction).
+
+    B (leading axis of every input) must be a multiple of the mesh size.
+    Returns per-ring (final_carry, outs) like `fixedlag.run_ring`."""
+    from ..solver.fixedlag import ring_slide_step
+
+    def one(inp, c0, r, g):
+        def slide(c, i):
+            return ring_slide_step(c, i, r, g, config, use_imu,
+                                   iters_per_slide, W, L_w)
+
+        return jax.lax.scan(slide, c0, inp)
+
+    def local(inp, c0, r, g):
+        return jax.vmap(one)(inp, c0, r, g)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS),
+        check_vma=False)(inputs, carry0, rig, g_vec)

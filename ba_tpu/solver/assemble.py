@@ -308,7 +308,12 @@ def proj_blocks(problem: Problem, config: BAConfig, colm6,
     w = base_w * w_rob
     sw = jnp.sqrt(w)[:, None, None]
 
-    lm_ok = (problem.lms.active & problem.lms.reliable)[pr.lm]
+    # `reliable` is reporting-only, matching the reference: a negative-
+    # inverse-depth trial reverts that landmark's delta for that step only
+    # (apply_update) and flags it (cpp:127-134); is_reliable gates nothing
+    # in BuildProblem (accessor h:590), so the landmark stays optimizable
+    # and can recover on later steps.
+    lm_ok = problem.lms.active[pr.lm]
     if config.lm_size == 0:
         # pose-graph-only mode: landmark system is a 1-wide dummy block
         j_lm = jnp.zeros((pr.z.shape[0], 2, 1), dtype)

@@ -267,6 +267,11 @@ def _bcr_factor(Dg, Eg):
     levels = []
     ok = jnp.asarray(True)
     D, E = Dg, Eg
+    # The level-wise Schur products are where the f32 factorization loses
+    # digits (same reasoning as _factor's XtX, which the default-on BCR
+    # path replaces): pay for exact-f32 matmuls here so the 4-iteration
+    # PCG wrap keeps the convergence it was tuned against.
+    hi = jax.lax.Precision.HIGHEST
     while m > 1:
         A = E[0::2]                                # E_{2k}   (h, n, n)
         B = E[1::2]                                # E_{2k+1} (h, n, n)
@@ -275,12 +280,12 @@ def _bcr_factor(Dg, Eg):
         ok = ok & jnp.all(jnp.isfinite(c))
         X = _cho_solve_b(c, jnp.swapaxes(A, -1, -2))   # Dodd^{-1} A^T
         Z = _cho_solve_b(c, B)                         # Dodd^{-1} B
-        T1 = jnp.einsum("kij,kil->kjl", B, Z)          # B^T Dodd^{-1} B
+        T1 = jnp.einsum("kij,kil->kjl", B, Z, precision=hi)
         T1 = jnp.concatenate([jnp.zeros_like(T1[:1]), T1[:-1]])
-        T2 = jnp.einsum("kij,kjl->kil", A, X)          # A Dodd^{-1} A^T
+        T2 = jnp.einsum("kij,kjl->kil", A, X, precision=hi)
         levels.append((c, A, B))
         D = D[0::2] - T1 - T2
-        E = -jnp.einsum("kij,kjl->kil", A, Z)          # E'[h-1] == 0: B
+        E = -jnp.einsum("kij,kjl->kil", A, Z, precision=hi)
         m //= 2                                        # ends with E[m-1]=0
     c0 = jnp.linalg.cholesky(D[0])
     ok = ok & jnp.all(jnp.isfinite(c0))
@@ -296,20 +301,22 @@ def _bcr_solve(levels, b, m_orig):
         b = jnp.concatenate(
             [b, jnp.zeros((m_pad - m_orig, n), b.dtype)])
 
+    hi = jax.lax.Precision.HIGHEST
+
     def rec(li, b):
         if li == len(levels) - 1:
             return _cho_solve_b(levels[li], b[0])[None]
         c, A, B = levels[li]
         b_odd, b_even = b[1::2], b[0::2]
         u = _cho_solve_b(c, b_odd)
-        t1 = jnp.einsum("kij,ki->kj", B, u)            # B^T u -> even k+1
+        t1 = jnp.einsum("kij,ki->kj", B, u, precision=hi)  # -> even k+1
         t1 = jnp.concatenate([jnp.zeros_like(t1[:1]), t1[:-1]])
-        t2 = jnp.einsum("kij,kj->ki", A, u)            # A u   -> even k
+        t2 = jnp.einsum("kij,kj->ki", A, u, precision=hi)  # -> even k
         x_even = rec(li + 1, b_even - t1 - t2)
         x_right = jnp.concatenate(
             [x_even[1:], jnp.zeros_like(x_even[:1])])
-        rhs_odd = (b_odd - jnp.einsum("kij,ki->kj", A, x_even)
-                   - jnp.einsum("kij,kj->ki", B, x_right))
+        rhs_odd = (b_odd - jnp.einsum("kij,ki->kj", A, x_even, precision=hi)
+                   - jnp.einsum("kij,kj->ki", B, x_right, precision=hi))
         x_odd = _cho_solve_b(c, rhs_odd)
         return jnp.stack([x_even, x_odd], axis=1).reshape(-1, n)
 
@@ -352,8 +359,24 @@ def solve_reduced_banded_dense(problem: Problem, config: BAConfig,
     poses), while the factorization stays one dense Cholesky (exact, no
     sequential chunk scan).  Mirrors `linear.solve_reduced` numerics.
     """
-    dtype = bs.rhs_sc.dtype
     band = band_S(problem, config, bs, P, D)
+    delta_p, ok = banded_dense_solve(band, bs.rhs_sc, bs.col_mask, marg_H)
+    delta_l = cg_mod.back_substitute_blocks(bs, delta_p, P, D, 0)
+    return GnStep(delta_p=delta_p, delta_l=delta_l, ok=ok)
+
+
+def banded_dense_solve(band, rhs_sc, col_mask, marg_H=None):
+    """Densify an assembled band, optionally add the dense marginalization
+    prior curvature, and solve by Jacobi-scaled Cholesky + one refinement
+    step (mirrors `linear.solve_reduced` numerics).  Returns (delta_p, ok).
+
+    Pure function of the (replicated) band — runs unchanged inside
+    shard_map after the per-shard partial bands are psum'd
+    (`parallel.shard._sharded_build_banded_dense`), which is how the
+    DISTRIBUTED sliding window carries its FEJ prior: the prior is a
+    replicated dense factor that cannot ride the band, so it joins at the
+    dense stage after ONE band psum."""
+    dtype = rhs_sc.dtype
     S = band_to_dense_sym(band)
     if marg_H is not None:
         S = S + marg_H
@@ -369,13 +392,11 @@ def solve_reduced_banded_dense(problem: Problem, config: BAConfig,
     def scaled_solve(rhs):
         return jax.scipy.linalg.cho_solve((c, low), rhs * scal) * scal
 
-    rhs_sc = bs.rhs_sc
     delta_p = scaled_solve(rhs_sc)
     delta_p = delta_p + scaled_solve(rhs_sc - S @ delta_p)
     delta_p = jnp.where(jnp.isfinite(delta_p), delta_p, 0.0)
-    delta_p = jnp.where(bs.col_mask, delta_p, 0.0)
-    delta_l = cg_mod.back_substitute_blocks(bs, delta_p, P, D, 0)
-    return GnStep(delta_p=delta_p, delta_l=delta_l, ok=ok)
+    delta_p = jnp.where(col_mask, delta_p, 0.0)
+    return delta_p, ok
 
 
 def band_to_dense_sym(band):

@@ -119,11 +119,16 @@ def build_ring_schedule(problem: Problem, config: BAConfig, W: int,
         rows_b = np.where(bv & in_win(b1) & in_win(b2))[0]
         slides.append((lm_ids, rows_p, rows_i, rows_u, rows_b))
 
-    L_w = max(len(s[0]) for s in slides)
-    # contiguous alive-id ranges make the mod map collision-free; verify
-    for lm_ids, *_ in slides:
-        if len(lm_ids) and len(np.unique(lm_ids % L_w)) != len(lm_ids):
-            L_w = int(lm_ids.max() - lm_ids.min() + 1)
+    # L_w must make slot = id % L_w collision-free within every slide.
+    # Any L_w >= each slide's id span works (ids in [lo, lo+span) are
+    # distinct mod L_w when L_w >= span), so take the max over slides of
+    # max(count, span) in ONE pass — a later slide's enlargement is then
+    # automatically valid for earlier slides too.
+    L_w = max(
+        max(len(lm_ids),
+            int(lm_ids.max() - lm_ids.min() + 1) if len(lm_ids) else 0)
+        for lm_ids, *_ in slides)
+    L_w = max(L_w, 1)
     for lm_ids, *_ in slides:
         assert len(np.unique(lm_ids % L_w)) == len(lm_ids), \
             "landmark ids alive in one window must map 1:1 under mod L_w"
@@ -320,89 +325,104 @@ def run_ring(schedule: RingSchedule, config: BAConfig, use_imu: bool,
                          schedule.W, schedule.L_w)
 
 
+def ring_slide_step(carry, inp, rig, g_vec, config: BAConfig,
+                    use_imu: bool, iters_per_slide: int, W: int, L_w: int):
+    """ONE slide of the ring pipeline: load incoming pose/landmarks into
+    their slots, solve the compact W-pose window, marginalize the retiring
+    pose, emit its post-solve estimate.
+
+    Shared verbatim by the batch scan (`run_ring`) and the online
+    streaming smoother (`solver.streaming.StreamingRing`) so the two run
+    the same math on value-identical tables (trajectories agree to f64
+    roundoff; see streaming.py's docstring on why not bitwise)."""
+    from .step import solve_fixed
+    from .window import apply_marginalization
+
+    q, t, v, b, lx, marg = carry
+    dtype = t.dtype
+    nm = inp["new_pose_mask"][:, None]
+    q = jnp.where(nm, inp["new_q"], q)
+    t = jnp.where(nm, inp["new_t"], t)
+    v = jnp.where(nm, inp["new_v"], v)
+    b = jnp.where(nm, inp["new_b"], b)
+    lx = jnp.where(inp["new_lm_mask"][:, None], inp["new_lm_x"], lx)
+    # refresh the prior's linearization rows for re-used slots (their
+    # H rows are zero, so this only keeps the carried state coherent)
+    marg = dataclasses.replace(
+        marg,
+        lin_q=jnp.where(nm, inp["new_q"], marg.lin_q),
+        lin_t=jnp.where(nm, inp["new_t"], marg.lin_t),
+        lin_v=jnp.where(nm, inp["new_v"], marg.lin_v),
+        lin_b=jnp.where(nm, inp["new_b"], marg.lin_b))
+
+    poses = PoseStates(q=q, t=t, v=v, b=b, time=inp["pose_time"],
+                       active=inp["pose_active"],
+                       mask=inp["pose_mask"],
+                       cam_params=inp["pose_cam_params"])
+    lms = LandmarkStates(x=lx, x_w=inp["lm_x_w"],
+                         ref_pose=inp["lm_ref_pose"],
+                         ref_cam=inp["lm_ref_cam"],
+                         active=inp["lm_active"],
+                         reliable=jnp.ones(L_w, bool),
+                         z_ref=inp["lm_z_ref"],
+                         has_z_ref=inp["lm_has_z_ref"])
+    proj = ProjResiduals(z=inp["proj_z"], pose=inp["proj_pose"],
+                         lm=inp["proj_lm"], cam=inp["proj_cam"],
+                         weight=inp["proj_weight"],
+                         valid=inp["proj_valid"],
+                         cond=inp["proj_cond"], pair=inp["proj_pair"],
+                         pair_swap=inp["proj_pair_swap"],
+                         wb_meas=inp["proj_wb_meas"],
+                         wb_ref=inp["proj_wb_ref"])
+    unary = UnaryResiduals(pose=inp["unary_pose"], q=inp["unary_q"],
+                           t=inp["unary_t"],
+                           cov_inv=inp["unary_cov_inv"],
+                           valid=inp["unary_valid"])
+    binary = BinaryResiduals(pose1=inp["binary_pose1"],
+                             pose2=inp["binary_pose2"],
+                             q=inp["binary_q"], t=inp["binary_t"],
+                             cov_inv=inp["binary_cov_inv"],
+                             valid=inp["binary_valid"],
+                             pair=inp["binary_pair"],
+                             pair_swap=inp["binary_pair_swap"])
+    imu = ImuResiduals(pose1=inp["imu_pose1"], pose2=inp["imu_pose2"],
+                       w=inp["imu_w"], a=inp["imu_a"],
+                       time=inp["imu_time"],
+                       meas_valid=inp["imu_meas_valid"],
+                       weight=inp["imu_weight"],
+                       valid=inp["imu_valid"], cond=inp["imu_cond"],
+                       pair=inp["imu_pair"],
+                       pair_swap=inp["imu_pair_swap"],
+                       c9=jnp.zeros(
+                           (inp["imu_pose1"].shape[0], 9, 9), dtype),
+                       c9_set=jnp.zeros((), bool))
+    problem = Problem(poses=poses, lms=lms, rig=rig, proj=proj,
+                      unary=unary, binary=binary, imu=imu,
+                      g_vec=g_vec, marg=marg, pidx=inp["pidx"])
+    problem, costs, _ = solve_fixed(problem, config, use_imu,
+                                    iters_per_slide)
+    drop = jnp.arange(W) == inp["drop_slot"]
+    p2 = apply_marginalization(problem, config, use_imu, drop)
+    new_carry = (p2.poses.q, p2.poses.t, p2.poses.v, p2.poses.b,
+                 p2.lms.x, p2.marg)
+    # the retiring pose's post-solve estimate IS the smoother's output
+    # for that keyframe — emit it so the scan yields the full
+    # optimized trajectory
+    s = inp["drop_slot"]
+    out = dict(cost=costs[-1], q=p2.poses.q[s], t=p2.poses.t[s],
+               v=p2.poses.v[s], b=p2.poses.b[s])
+    return new_carry, out
+
+
+
 @partial(jax.jit, static_argnames=("config", "use_imu", "iters_per_slide",
                                    "W", "L_w"))
 def _run_ring_jit(inputs, carry0, rig, g_vec, config: BAConfig,
                   use_imu: bool, iters_per_slide: int, W: int, L_w: int):
-    from .step import solve_fixed
-    from .window import apply_marginalization
-
-    dtype = carry0[1].dtype
-
     def slide(carry, inp):
-        q, t, v, b, lx, marg = carry
-        nm = inp["new_pose_mask"][:, None]
-        q = jnp.where(nm, inp["new_q"], q)
-        t = jnp.where(nm, inp["new_t"], t)
-        v = jnp.where(nm, inp["new_v"], v)
-        b = jnp.where(nm, inp["new_b"], b)
-        lx = jnp.where(inp["new_lm_mask"][:, None], inp["new_lm_x"], lx)
-        # refresh the prior's linearization rows for re-used slots (their
-        # H rows are zero, so this only keeps the carried state coherent)
-        marg = dataclasses.replace(
-            marg,
-            lin_q=jnp.where(nm, inp["new_q"], marg.lin_q),
-            lin_t=jnp.where(nm, inp["new_t"], marg.lin_t),
-            lin_v=jnp.where(nm, inp["new_v"], marg.lin_v),
-            lin_b=jnp.where(nm, inp["new_b"], marg.lin_b))
-
-        poses = PoseStates(q=q, t=t, v=v, b=b, time=inp["pose_time"],
-                           active=inp["pose_active"],
-                           mask=inp["pose_mask"],
-                           cam_params=inp["pose_cam_params"])
-        lms = LandmarkStates(x=lx, x_w=inp["lm_x_w"],
-                             ref_pose=inp["lm_ref_pose"],
-                             ref_cam=inp["lm_ref_cam"],
-                             active=inp["lm_active"],
-                             reliable=jnp.ones(L_w, bool),
-                             z_ref=inp["lm_z_ref"],
-                             has_z_ref=inp["lm_has_z_ref"])
-        proj = ProjResiduals(z=inp["proj_z"], pose=inp["proj_pose"],
-                             lm=inp["proj_lm"], cam=inp["proj_cam"],
-                             weight=inp["proj_weight"],
-                             valid=inp["proj_valid"],
-                             cond=inp["proj_cond"], pair=inp["proj_pair"],
-                             pair_swap=inp["proj_pair_swap"],
-                             wb_meas=inp["proj_wb_meas"],
-                             wb_ref=inp["proj_wb_ref"])
-        unary = UnaryResiduals(pose=inp["unary_pose"], q=inp["unary_q"],
-                               t=inp["unary_t"],
-                               cov_inv=inp["unary_cov_inv"],
-                               valid=inp["unary_valid"])
-        binary = BinaryResiduals(pose1=inp["binary_pose1"],
-                                 pose2=inp["binary_pose2"],
-                                 q=inp["binary_q"], t=inp["binary_t"],
-                                 cov_inv=inp["binary_cov_inv"],
-                                 valid=inp["binary_valid"],
-                                 pair=inp["binary_pair"],
-                                 pair_swap=inp["binary_pair_swap"])
-        imu = ImuResiduals(pose1=inp["imu_pose1"], pose2=inp["imu_pose2"],
-                           w=inp["imu_w"], a=inp["imu_a"],
-                           time=inp["imu_time"],
-                           meas_valid=inp["imu_meas_valid"],
-                           weight=inp["imu_weight"],
-                           valid=inp["imu_valid"], cond=inp["imu_cond"],
-                           pair=inp["imu_pair"],
-                           pair_swap=inp["imu_pair_swap"],
-                           c9=jnp.zeros(
-                               (inp["imu_pose1"].shape[0], 9, 9), dtype),
-                           c9_set=jnp.zeros((), bool))
-        problem = Problem(poses=poses, lms=lms, rig=rig, proj=proj,
-                          unary=unary, binary=binary, imu=imu,
-                          g_vec=g_vec, marg=marg, pidx=inp["pidx"])
-        problem, costs, _ = solve_fixed(problem, config, use_imu,
-                                        iters_per_slide)
-        drop = jnp.arange(W) == inp["drop_slot"]
-        p2 = apply_marginalization(problem, config, use_imu, drop)
-        new_carry = (p2.poses.q, p2.poses.t, p2.poses.v, p2.poses.b,
-                     p2.lms.x, p2.marg)
-        # the retiring pose's post-solve estimate IS the smoother's output
-        # for that keyframe — emit it so the scan yields the full
-        # optimized trajectory
-        s = inp["drop_slot"]
-        out = dict(cost=costs[-1], q=p2.poses.q[s], t=p2.poses.t[s],
-                   v=p2.poses.v[s], b=p2.poses.b[s])
-        return new_carry, out
+        return ring_slide_step(carry, inp, rig, g_vec, config,
+                               use_imu, iters_per_slide, W, L_w)
 
     carry, outs = jax.lax.scan(slide, carry0, inputs)
+    return carry, outs
     return carry, outs

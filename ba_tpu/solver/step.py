@@ -111,6 +111,14 @@ class IterResult(NamedTuple):
     trust_radius: jax.Array
     solver_ok: jax.Array    # bool — reduced factorization/CG succeeded
                             # (FactorizationError when False, cpp:756-764)
+    # per-trial solve-norm trace (reference SolutionSummary
+    # pre_solve_norm/post_solve_norm, cpp:1036-1058: overwritten each
+    # inner trial, so these carry the LAST trial — post_solve_norm is the
+    # trial's evaluated cost even when the trial was rejected and rolled
+    # back, unlike post_cost which reports the committed state)
+    pre_solve_norm: jax.Array = jnp.zeros(())
+    post_solve_norm: jax.Array = jnp.zeros(())
+    inner_trials: jax.Array = jnp.zeros((), jnp.int32)
 
 
 def _cost(problem, config, use_imu, proj_w=None, imu_c9=None):
@@ -273,7 +281,9 @@ def gn_iteration(problem: Problem, config: BAConfig, use_imu: bool,
                       delta_norm=jnp.where(accept, dn, 0.0),
                       accepted=accept,
                       trust_radius=jnp.zeros_like(built.cost),
-                      solver_ok=step.ok)
+                      solver_ok=step.ok,
+                      pre_solve_norm=built.cost, post_solve_norm=post,
+                      inner_trials=jnp.ones((), jnp.int32))
 
 
 def dogleg_search(problem: Problem, config: BAConfig, use_imu: bool,
@@ -282,7 +292,7 @@ def dogleg_search(problem: Problem, config: BAConfig, use_imu: bool,
     branch, cpp:850-1083) given the GN and Cauchy steps — shared by the
     single-device and distributed iterations.
 
-    Returns (radius, ok, d, post)."""
+    Returns (radius, ok, d, post, n_trials)."""
     norm_gn = jnp.linalg.norm(d_gn)
     norm_sd = jnp.linalg.norm(d_sd)
 
@@ -324,7 +334,8 @@ def dogleg_search(problem: Problem, config: BAConfig, use_imu: bool,
     zeros_d = jnp.zeros_like(d_gn)
     state0 = (trust_radius, jnp.asarray(False), zeros_d, pre_cost,
               jnp.asarray(0))
-    return jax.lax.while_loop(cond, body, state0)[:4]
+    radius, ok, d, post, k = jax.lax.while_loop(cond, body, state0)
+    return radius, ok, d, post, k.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("config", "use_imu"))
@@ -341,7 +352,7 @@ def dogleg_iteration(problem: Problem, config: BAConfig, use_imu: bool,
     d_sd = built.cauchy_alpha * jnp.concatenate([built.rhs_p, built.rhs_l])
     Np = built.rhs_p.shape[0]
 
-    radius, ok, d, post = dogleg_search(
+    radius, ok, d, post, n_trials = dogleg_search(
         problem, config, use_imu, trust_radius, d_gn, d_sd, pre_cost,
         built.proj_w, built.imu_c9, Np)
 
@@ -352,7 +363,9 @@ def dogleg_iteration(problem: Problem, config: BAConfig, use_imu: bool,
     return IterResult(problem=out, pre_cost=pre_cost,
                       post_cost=jnp.where(ok, post, pre_cost),
                       delta_norm=jnp.where(ok, dn, 0.0), accepted=ok,
-                      trust_radius=radius, solver_ok=gn.ok)
+                      trust_radius=radius, solver_ok=gn.ok,
+                      pre_solve_norm=pre_cost, post_solve_norm=post,
+                      inner_trials=n_trials)
 
 
 @partial(jax.jit, static_argnames=("config", "use_imu", "n_iters",
@@ -458,11 +471,11 @@ def solve_adaptive(problem: Problem, config: BAConfig, use_imu: bool,
     tiny = jnp.asarray(1e-30, dtype)
 
     def cond(carry):
-        p, trust, it, status, init_c, post_c, dn = carry
+        p, trust, it, status, init_c, post_c, dn, norms = carry
         return (it < max_iter) & (status == _RUNNING)
 
     def body(carry):
-        p, trust, it, status, init_c, post_c, dn0 = carry
+        p, trust, it, status, init_c, post_c, dn0, norms0 = carry
         if config.use_dogleg:
             res = dogleg_iteration(p, config, use_imu, trust)
             trust_n = res.trust_radius
@@ -473,17 +486,24 @@ def solve_adaptive(problem: Problem, config: BAConfig, use_imu: bool,
         pre, post, dn = res.pre_cost, res.post_cost, res.delta_norm
         init_c = jnp.where(it == 0, pre, init_c)
         status_n = _status_code(res, config, tiny)
-        return (res.problem, trust_n, it + 1, status_n, init_c, post, dn)
+        norms = (res.pre_solve_norm, res.post_solve_norm,
+                 res.inner_trials)
+        return (res.problem, trust_n, it + 1, status_n, init_c, post, dn,
+                norms)
 
     carry0 = (problem, trust0, jnp.asarray(0), jnp.asarray(_RUNNING),
               jnp.zeros((), dtype), jnp.zeros((), dtype),
-              jnp.zeros((), dtype))
-    p, trust, it, status, init_c, post_c, dn = jax.lax.while_loop(
+              jnp.zeros((), dtype),
+              (jnp.zeros((), dtype), jnp.zeros((), dtype),
+               jnp.zeros((), jnp.int32)))
+    p, trust, it, status, init_c, post_c, dn, norms = jax.lax.while_loop(
         cond, body, carry0)
     eb = error_breakdown(p, config, use_imu)
     p = finalize_landmarks(p, config)
     stats = dict(iterations=it, status=status, initial_cost=init_c,
-                 final_cost=post_c, delta_norm=dn, breakdown=eb)
+                 final_cost=post_c, delta_norm=dn, breakdown=eb,
+                 pre_solve_norm=norms[0], post_solve_norm=norms[1],
+                 inner_trials=norms[2])
     return p, stats
 
 
@@ -501,6 +521,13 @@ class Summary:
     final_cost: float = 0.0
     delta_norm: float = 0.0
     result: str = "Success"
+    # last inner trial's solve-norm trace (reference pre_solve_norm /
+    # post_solve_norm, h:60-62, filled per dogleg trial cpp:1036-1058;
+    # post_solve_norm keeps the trial's evaluated cost even when that
+    # trial was rejected and rolled back)
+    pre_solve_norm: float = 0.0
+    post_solve_norm: float = 0.0
+    inner_iterations: int = 0
     # per-family breakdown at the solution
     proj_error: float = 0.0
     cond_proj_error: float = 0.0
@@ -605,6 +632,9 @@ def solve(problem: Problem, config: BAConfig, max_iter: int = 10,
         summary.final_cost = float(stats["final_cost"])
         summary.delta_norm = float(stats["delta_norm"])
         summary.result = _RESULT_NAMES[int(stats["status"])]
+        summary.pre_solve_norm = float(stats["pre_solve_norm"])
+        summary.post_solve_norm = float(stats["post_solve_norm"])
+        summary.inner_iterations = int(stats["inner_trials"])
         _fill_breakdown(summary, stats["breakdown"])
         _calibration_epilogue(p, config, use_imu, summary)
         return p, summary
@@ -633,6 +663,9 @@ def solve(problem: Problem, config: BAConfig, max_iter: int = 10,
         summary.iterations = it + 1
         summary.final_cost = post
         summary.delta_norm = float(res.delta_norm)
+        summary.pre_solve_norm = float(res.pre_solve_norm)
+        summary.post_solve_norm = float(res.post_solve_norm)
+        summary.inner_iterations = int(res.inner_trials)
         if staging and not config.tvs_translation_active:
             # stabilization test (reference cpp:257-271): enable the Tvs
             # translation once the extrinsic's se3-log difference between

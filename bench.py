@@ -1,13 +1,24 @@
 """Benchmark harness: keyframes optimized per second per chip.
 
-Runs the flagship visual-inertial BA iteration (reprojection + IMU
-preintegration residuals, Schur-reduced GN) on a simulate_vins-scale
+Runs the flagship visual-inertial BA problem (reprojection + IMU
+preintegration residuals, Schur-reduced solve) on a simulate_vins-scale
 problem (128 keyframes, 512 landmarks, 10 IMU samples per interval) in f32
 on one chip, and reports steady-state keyframes/s:
 
     kf_per_s = n_keyframes * iterations / elapsed
 
-`vs_baseline` compares against the recorded single-host CPU (f32, 4-core
+The default run measures BOTH solver configurations and emits ONE JSON
+line carrying both numbers (round-4 VERDICT item 6 — the recorded bench
+must reflect the library default, not only the faster path):
+
+  * `value` / `vs_baseline` — the DEFAULT config: dogleg trust region
+    through `solve_adaptive`, the exact program `solve` dispatches, with
+    the reference's exit criteria (cpp:648-661) live;
+  * `value_gn` / `vs_baseline_gn` — the GN path as a fixed-25-iteration
+    program (the reference app's canonical `slam.Solve(25, 0.2)` call,
+    unary_binary_imu_test/main.cpp:283-288).
+
+`vs_baseline*` compares against the recorded single-host CPU (f32, 4-core
 XLA:CPU) measurement of the same program — the reference publishes no
 numbers of its own (BASELINE.md), so the CPU run of this same workload is
 the recorded baseline.
@@ -22,18 +33,20 @@ import jax
 
 N_POSES = 128
 N_LMS = 512
-# 25 GN iterations per solve — the reference app's canonical call
-# (`slam.Solve(25, 0.2)`, unary_binary_imu_test/main.cpp:283-288).  The
+# 25 GN iterations per solve — the reference app's canonical call.  The
 # whole solve is ONE XLA program; a longer solve also amortizes the
 # per-program dispatch latency of the remote-TPU tunnel (~23 ms flat,
 # measured bench_phases.py) that is absent on directly-attached TPUs.
 N_ITERS = 25
 
-# CPU f32 measurement of the same workload on the 4-core XLA:CPU host (see
-# BASELINE.md; re-measure with `python bench.py --cpu`).  2026-08-18:
-# banded assembly + 25-iteration solve sped the CPU path up too (was 300
-# at round 1's dense assembly / 10-iteration program).
+# CPU f32 measurements of the same workloads on the 4-core XLA:CPU host
+# (see BASELINE.md; re-measure with `python bench.py --cpu [--dogleg]`).
+# 2026-08-18 (GN): banded assembly + 25-iteration solve sped the CPU path
+# up too (was 300 at round 1's dense assembly / 10-iteration program).
 CPU_BASELINE_KF_S = 954.7
+# 2026-08-20 (dogleg default config through solve_adaptive, ~6 adaptive
+# iterations to the exit criteria).
+CPU_BASELINE_KF_S_DOGLEG = 497.2
 
 
 def build(use_dogleg=False):
@@ -59,27 +72,18 @@ def build(use_dogleg=False):
     return problem, cfg
 
 
-def main(platform=None, use_dogleg=False):
-    """Default measures the GN path (the reference app's `Solve(25, 0.2)`
-    configuration) as a fixed-25-iteration program.  `--dogleg` measures
-    the library-default dogleg path through `solve_adaptive` — the exact
-    program `solve` dispatches, with the reference's exit criteria
-    (cpp:648-661) live: a fixed-iteration dogleg program would keep
-    grinding 2-3 rejected trust-region trials per iteration at the f32
-    cost floor, work the reference's own `Solve(25)` never does (it exits
-    on the relative-error-change test).  kf/s counts the iterations the
-    adaptive loop actually executed."""
-    if platform:
-        jax.config.update("jax_platforms", platform)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
+def _measure(use_dogleg):
+    """kf/s for one solver configuration (warmup + timed run)."""
     from ba_tpu.solver.step import solve_adaptive, solve_fixed
 
     problem, cfg = build(use_dogleg)
-
     if use_dogleg:
+        # the adaptive program `solve` dispatches: a fixed-iteration
+        # dogleg program would keep grinding 2-3 rejected trust-region
+        # trials per iteration at the f32 cost floor, work the
+        # reference's own `Solve(25)` never does (it exits on the
+        # relative-error-change test).  kf/s counts the iterations the
+        # adaptive loop actually executed.
         p, stats = solve_adaptive(problem, cfg, True, N_ITERS)  # warmup
         jax.block_until_ready(p.poses.t)
         t0 = time.perf_counter()
@@ -87,24 +91,47 @@ def main(platform=None, use_dogleg=False):
         jax.block_until_ready(p.poses.t)
         elapsed = time.perf_counter() - t0
         iters_done = int(stats["iterations"])
-        kf_per_s = N_POSES * iters_done / elapsed
-    else:
-        # warmup / compile (the whole N_ITERS loop is one XLA program)
-        out = solve_fixed(problem, cfg, True, N_ITERS)
-        jax.block_until_ready(out[1])
+        return N_POSES * iters_done / elapsed
+    out = solve_fixed(problem, cfg, True, N_ITERS)  # warmup / compile
+    jax.block_until_ready(out[1])
+    t0 = time.perf_counter()
+    out = solve_fixed(problem, cfg, True, N_ITERS)
+    jax.block_until_ready(out[1])
+    elapsed = time.perf_counter() - t0
+    return N_POSES * N_ITERS / elapsed
 
-        t0 = time.perf_counter()
-        out = solve_fixed(problem, cfg, True, N_ITERS)
-        jax.block_until_ready(out[1])
-        elapsed = time.perf_counter() - t0
-        kf_per_s = N_POSES * N_ITERS / elapsed
-    out = {
-        "metric": ("vi_ba_keyframes_per_s_per_chip_dogleg" if use_dogleg
-                   else "vi_ba_keyframes_per_s_per_chip"),
-        "value": round(kf_per_s, 2),
-        "unit": "keyframes/s",
-        "vs_baseline": round(kf_per_s / CPU_BASELINE_KF_S, 3),
-    }
+
+def main(platform=None, mode="both"):
+    """mode: 'both' (default driver run — one JSON line with the default
+    dogleg number as `value` and the GN number as `value_gn`), 'gn' or
+    'dogleg' for targeted single-config runs."""
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    if mode == "gn":
+        kf = _measure(False)
+        out = {"metric": "vi_ba_keyframes_per_s_per_chip_gn",
+               "value": round(kf, 2), "unit": "keyframes/s",
+               "vs_baseline": round(kf / CPU_BASELINE_KF_S, 3)}
+    elif mode == "dogleg":
+        kf = _measure(True)
+        out = {"metric": "vi_ba_keyframes_per_s_per_chip_dogleg",
+               "value": round(kf, 2), "unit": "keyframes/s",
+               "vs_baseline": round(kf / CPU_BASELINE_KF_S_DOGLEG, 3)}
+    else:
+        kf_dl = _measure(True)
+        kf_gn = _measure(False)
+        out = {
+            "metric": "vi_ba_keyframes_per_s_per_chip",
+            "value": round(kf_dl, 2),          # library-default dogleg
+            "unit": "keyframes/s",
+            "vs_baseline": round(kf_dl / CPU_BASELINE_KF_S_DOGLEG, 3),
+            "value_gn": round(kf_gn, 2),       # reference-app Solve(25,.2)
+            "vs_baseline_gn": round(kf_gn / CPU_BASELINE_KF_S, 3),
+        }
     print(json.dumps(out))
     return out
 
@@ -112,5 +139,9 @@ def main(platform=None, use_dogleg=False):
 if __name__ == "__main__":
     import sys
 
-    main(platform="cpu" if "--cpu" in sys.argv else None,
-         use_dogleg="--dogleg" in sys.argv)
+    mode = "both"
+    if "--dogleg" in sys.argv:
+        mode = "dogleg"
+    elif "--gn" in sys.argv:
+        mode = "gn"
+    main(platform="cpu" if "--cpu" in sys.argv else None, mode=mode)

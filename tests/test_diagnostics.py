@@ -271,3 +271,88 @@ def test_gn_rollback_on_error_increase():
     assert float(allowed.post_cost) > float(allowed.pre_cost)
     assert not np.array_equal(np.asarray(allowed.problem.poses.t),
                               np.asarray(problem.poses.t))
+
+
+def test_negative_depth_trial_reverts_landmark_only():
+    """A delta that would drive an inverse depth negative reverts THAT
+    landmark's update for that step only and flags it unreliable
+    (reference ApplyUpdate, cpp:127-134); other landmarks update."""
+    problem, cfg = make_scene(n_poses=6, n_lms=24, perturb=0.01)
+    problem = prepare_landmarks(problem, cfg)
+    L = problem.lms.x.shape[0]
+    P = problem.poses.q.shape[0]
+    rho = np.asarray(problem.lms.x[:, 3])
+    delta_l = np.full(L, -1e-4)
+    delta_l[0] = 2.0 * rho[0]          # rho_0 - (-delta) would go negative
+    cand = step_mod.apply_update(problem, cfg,
+                                 jnp.zeros(P * cfg.pose_dim),
+                                 jnp.asarray(delta_l))
+    np.testing.assert_allclose(np.asarray(cand.lms.x[0]),
+                               np.asarray(problem.lms.x[0]))  # reverted
+    np.testing.assert_allclose(np.asarray(cand.lms.x[1:, 3]),
+                               rho[1:] + 1e-4)                # applied
+    rel = np.asarray(cand.lms.reliable)
+    assert not rel[0] and rel[1:].all()
+
+
+def test_unreliable_landmark_recovers():
+    """`reliable` is reporting-only (reference BundleAdjuster.h:590 — the
+    flag gates nothing in BuildProblem): a flagged landmark must keep
+    optimizing and recover from a transiently-bad depth.  Regression for
+    the round-4 permanent-freeze deviation (assemble.py used to zero j_lm
+    for ~reliable forever)."""
+    problem, cfg = make_scene(n_poses=6, n_lms=24, perturb=0.01)
+    cfg = dataclasses.replace(cfg, use_dogleg=True)
+    problem = prepare_landmarks(problem, cfg)
+    # transiently-bad state: landmark 0's depth badly overshot + flagged
+    lms = problem.lms
+    bad = dataclasses.replace(
+        lms,
+        x=lms.x.at[0, 3].set(lms.x[0, 3] * 3.0),
+        reliable=lms.reliable.at[0].set(False))
+    p_bad = dataclasses.replace(problem, lms=bad)
+    p_out, costs, _ = step_mod.solve_fixed(p_bad, cfg, False, 15)
+    assert float(costs[-1]) < 1e-6, costs
+    # the flagged landmark's depth returned to the unflagged solution
+    p_ref, _, _ = step_mod.solve_fixed(problem, cfg, False, 15)
+    np.testing.assert_allclose(float(p_out.lms.x[0, 3]),
+                               float(p_ref.lms.x[0, 3]), rtol=1e-4)
+    # and the flag itself is untouched by assembly (still reported False)
+    assert not bool(p_out.lms.reliable[0])
+
+
+def test_summary_per_trial_solve_norms():
+    """Summary.pre_solve_norm / post_solve_norm / inner_iterations mirror
+    the reference's per-inner-trial SolutionSummary trace (h:60-62, filled
+    cpp:1036-1058): the last trial's evaluated costs, consistent with the
+    committed cost trace."""
+    from ba_tpu.solver.step import solve
+
+    # dogleg path
+    problem, cfg = make_scene(n_poses=6, n_lms=24, perturb=0.02)
+    cfg = dataclasses.replace(cfg, use_dogleg=True)
+    p, s = solve(problem, cfg, max_iter=10)
+    assert s.inner_iterations >= 1
+    assert s.pre_solve_norm > 0
+    # the final iteration's last trial was accepted -> its post norm IS
+    # the committed final cost, and it improved on the trial's pre norm
+    np.testing.assert_allclose(s.post_solve_norm, s.final_cost,
+                               rtol=1e-6, atol=1e-20)
+    assert s.post_solve_norm <= s.pre_solve_norm
+
+    # GN rejected step: post_solve_norm keeps the evaluated (increased)
+    # trial cost while final_cost reports the committed state
+    problem2, cfg2 = make_scene(n_poses=6, n_lms=24, perturb=0.01)
+    problem2 = prepare_landmarks(problem2, cfg2)
+    problem2, _, _ = step_mod.solve_fixed(problem2, cfg2, False, 6)
+    res = step_mod.gn_iteration(problem2, cfg2, False, 3.0, False)
+    assert not bool(res.accepted)
+    assert float(res.post_solve_norm) > float(res.pre_solve_norm)
+    assert float(res.post_cost) == float(res.pre_cost)
+
+    # host-loop path (verbose) fills the same fields
+    p3, s3 = solve(problem, cfg, max_iter=4, verbose=0)
+    p4, s4 = solve(problem, cfg, max_iter=4, verbose=1)
+    np.testing.assert_allclose(s3.post_solve_norm, s4.post_solve_norm,
+                               rtol=1e-6, atol=1e-20)
+    assert s4.inner_iterations >= 1

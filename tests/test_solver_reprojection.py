@@ -131,8 +131,8 @@ def dense_oracle(problem, cfg):
     # apply col mask like the assembly does
     pm = (problem.poses.mask[:, :D]
           & problem.poses.active[:, None]).reshape(-1)
-    lm_ok = (problem.lms.active
-             & problem.lms.reliable)[:, None].repeat(lmsz, 1).reshape(-1)
+    # `reliable` is reporting-only (reference h:590) — only `active` gates
+    lm_ok = problem.lms.active[:, None].repeat(lmsz, 1).reshape(-1)
     mask = jnp.concatenate([pm, lm_ok])
     J = J * mask[None, :]
     return np.asarray(J), np.asarray(r), P * D
