@@ -469,7 +469,7 @@ def _schur_pair_table_np(wp, wl, n_uniq, pad_multiple=1):
 
 def build_structure_index(proj_pose, proj_ref_pose, proj_lm, proj_valid,
                           b1, b2, b_valid, i1, i2, i_valid, P, L,
-                          pad_multiple=1):
+                          pad_multiple=1, as_numpy=False):
     """All host-side sparsity tables from packed numpy index arrays.
 
     Returns (per_row, tables): per_row has 'pair'/'pair_swap'/'wb_meas'/
@@ -486,13 +486,17 @@ def build_structure_index(proj_pose, proj_ref_pose, proj_lm, proj_valid,
     ipair, iswap, ipa, ipb = _pair_table_np(i1, i2, i_valid, P, pad_multiple)
     per_row = dict(pair=pair, pair_swap=swap, wb_meas=wb_m, wb_ref=wb_r,
                    bpair=bpair, bswap=bswap, ipair=ipair, iswap=iswap)
+    # `as_numpy` keeps the tables host-side: the streaming smoother packs
+    # them itself, and each jnp.asarray here is a device transfer (a
+    # ~25 ms round trip per table through a remote-TPU tunnel)
+    conv = (lambda a: a) if as_numpy else jnp.asarray
     tables = ProblemIndex(
-        pair_a=jnp.asarray(pa), pair_b=jnp.asarray(pb),
-        wb_pose=jnp.asarray(wp), wb_lm=jnp.asarray(wl),
-        bpair_a=jnp.asarray(bpa), bpair_b=jnp.asarray(bpb),
-        ipair_a=jnp.asarray(ipa), ipair_b=jnp.asarray(ipb),
-        sp_i=jnp.asarray(sp_i), sp_j=jnp.asarray(sp_j),
-        sp_valid=jnp.asarray(sp_valid))
+        pair_a=conv(pa), pair_b=conv(pb),
+        wb_pose=conv(wp), wb_lm=conv(wl),
+        bpair_a=conv(bpa), bpair_b=conv(bpb),
+        ipair_a=conv(ipa), ipair_b=conv(ipb),
+        sp_i=conv(sp_i), sp_j=conv(sp_j),
+        sp_valid=conv(sp_valid))
     return per_row, tables
 
 

@@ -22,18 +22,33 @@ keyframe) — built on the same per-slide machinery:
     standalone compilations of the same step reassociate at the ulp level
     (measured <= 6e-15 m over 17 slides on identical inputs).
 
+Built for DISPATCH-LATENCY-BOUND serving (a remote-TPU tunnel charges
+~23 ms per program launch and ~5 ms per device transfer, BASELINE.md):
+
+  * the `add_*` path runs ZERO device work (pure numpy buffering);
+  * new-landmark state preparation happens INSIDE the slide program
+    (same elementwise math as `problem.prepare_landmarks`, bitwise equal
+    per row), so it costs no extra dispatch;
+  * the ~55 slide tables are packed into THREE flat host buffers (float /
+    int32 / bool) and unpacked on-device — 3 transfers per push instead
+    of ~55;
+  * `push(block=False)` never synchronizes: XLA dispatch is async, so
+    successive slides pipeline and steady-state throughput is bound by
+    max(host table build, device step), not round-trip latency.
+
 Per retired keyframe the smoother emits the post-solve estimate of the
 departing pose (the smoother's output trajectory), then folds the pose
 into the compact (W*D)^2 FEJ marginalization prior.
 
 Restrictions (same as the ring): no calibration block, no per-pose cam
-params, inverse-depth or XYZ landmarks anchored at in-window poses, and
-alive landmark ids distinct mod L_w within every window (asserted).
+params, landmarks anchored at in-window poses, and alive landmark ids
+distinct mod L_w within every window (asserted).
 """
 
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -72,7 +87,7 @@ class RingCapacities:
     def from_schedule(cls, s: RingSchedule) -> "RingCapacities":
         """Capacities matching a batch schedule's padded shapes — gives
         the streaming smoother the exact table shapes of the batch scan
-        (used by the bit-identity test)."""
+        (used by the equivalence tests)."""
         i = s.inputs
         return cls(L_w=s.L_w,
                    n_proj=int(i["proj_z"].shape[1]),
@@ -87,6 +102,115 @@ class RingCapacities:
                    n_sp=int(i["pidx"].sp_i.shape[1]))
 
 
+def prepare_rows(x_w, q_ref, t_ref, rig: Rig, ref_cam, z_ref, has_z,
+                 config: BAConfig):
+    """Rowwise landmark-state preparation — the body of
+    `problem.prepare_landmarks` (problem.py:1127-1154) verbatim, applied
+    to explicit per-row anchor states.  Elementwise per row, so values
+    are bitwise equal to the batch prepare on the same inputs."""
+    if config.lm_size != 1:
+        return x_w
+    T_ws = lie.se3_compose((q_ref, t_ref),
+                           (rig.tvs_q[ref_cam], rig.tvs_t[ref_cam]))
+    x_s = lie.se3_transform_homog(lie.se3_inverse(T_ws), x_w)
+    norm = jnp.maximum(jnp.linalg.norm(x_s[..., :3], axis=-1,
+                                       keepdims=True), 1e-12)
+    x_s = x_s / norm
+    params_l = rig.params[ref_cam]
+    model_l = rig.model[ref_cam]
+    ray = cam_mod.unproject(params_l, model_l, z_ref)
+    x_meas = jnp.concatenate([ray, x_s[..., 3:4]], axis=-1)
+    return jnp.where(has_z[:, None], x_meas, x_s)
+
+
+# field -> buffer kind; layouts are (name, shape) tuples per kind, built
+# from the capacities so offsets are static in the packed-step program
+_PIDX_I = ("pair_a", "pair_b", "wb_pose", "wb_lm", "bpair_a", "bpair_b",
+           "ipair_a", "ipair_b", "sp_i", "sp_j")
+
+
+def _make_layouts(W, C, caps: RingCapacities):
+    L_w, Np, Ni = caps.L_w, caps.n_proj, caps.n_imu
+    Nu, Nb, M = caps.n_unary, caps.n_binary, caps.imu_span
+    fl = (("pose_time", (W,)), ("pose_cam_params", (W, C)),
+          ("new_q", (W, 4)), ("new_t", (W, 3)), ("new_v", (W, 3)),
+          ("new_b", (W, 6)), ("lm_z_ref", (L_w, 2)), ("lm_x_w", (L_w, 4)),
+          ("proj_z", (Np, 2)), ("proj_weight", (Np,)),
+          ("imu_w", (Ni, M, 3)), ("imu_a", (Ni, M, 3)),
+          ("imu_time", (Ni, M)), ("imu_weight", (Ni,)),
+          ("unary_q", (Nu, 4)), ("unary_t", (Nu, 3)),
+          ("unary_cov_inv", (Nu, 6, 6)), ("binary_q", (Nb, 4)),
+          ("binary_t", (Nb, 3)), ("binary_cov_inv", (Nb, 6, 6)))
+    il = (("lm_ref_pose", (L_w,)), ("lm_ref_cam", (L_w,)),
+          ("proj_pose", (Np,)), ("proj_lm", (Np,)), ("proj_cam", (Np,)),
+          ("proj_pair", (Np,)), ("proj_wb_meas", (Np,)),
+          ("proj_wb_ref", (Np,)), ("imu_pose1", (Ni,)),
+          ("imu_pose2", (Ni,)), ("imu_pair", (Ni,)),
+          ("unary_pose", (Nu,)), ("binary_pose1", (Nb,)),
+          ("binary_pose2", (Nb,)), ("binary_pair", (Nb,)),
+          ("pair_a", (caps.n_pair,)), ("pair_b", (caps.n_pair,)),
+          ("wb_pose", (caps.n_wb,)), ("wb_lm", (caps.n_wb,)),
+          ("bpair_a", (caps.n_bpair,)), ("bpair_b", (caps.n_bpair,)),
+          ("ipair_a", (caps.n_ipair,)), ("ipair_b", (caps.n_ipair,)),
+          ("sp_i", (caps.n_sp,)), ("sp_j", (caps.n_sp,)),
+          ("drop_slot", (1,)))
+    bl = (("pose_mask", (W, 15)), ("pose_active", (W,)),
+          ("new_pose_mask", (W,)), ("lm_active", (L_w,)),
+          ("lm_has_z_ref", (L_w,)), ("new_lm_mask", (L_w,)),
+          ("proj_valid", (Np,)), ("proj_cond", (Np,)),
+          ("proj_pair_swap", (Np,)), ("imu_meas_valid", (Ni, M)),
+          ("imu_valid", (Ni,)), ("imu_cond", (Ni,)),
+          ("imu_pair_swap", (Ni,)), ("unary_valid", (Nu,)),
+          ("binary_valid", (Nb,)), ("binary_pair_swap", (Nb,)),
+          ("sp_valid", (caps.n_sp,)))
+    return fl, il, bl
+
+
+def _pack(d, layout, dtype):
+    return np.concatenate(
+        [np.ascontiguousarray(d[name], dtype).ravel()
+         for name, _ in layout])
+
+
+def _unpack(buf, layout, cast=None):
+    out = {}
+    off = 0
+    for name, shp in layout:
+        n = int(np.prod(shp))
+        x = jax.lax.dynamic_slice_in_dim(buf, off, n).reshape(shp)
+        out[name] = x if cast is None else x.astype(cast)
+        off += n
+    return out
+
+
+@partial(jax.jit, static_argnames=("layouts", "config", "use_imu",
+                                   "iters_per_slide", "W", "L_w"))
+def _packed_slide_step(carry, fbuf, ibuf, bbuf, rig, g_vec, layouts,
+                       config: BAConfig, use_imu: bool,
+                       iters_per_slide: int, W: int, L_w: int):
+    """Unpack the three flat buffers into the slide tables, prepare the
+    incoming landmarks in-program, run `ring_slide_step`."""
+    fl, il, bl = layouts
+    d: Dict[str, Any] = {}
+    d.update(_unpack(fbuf, fl))
+    d.update(_unpack(ibuf, il))
+    d.update(_unpack(bbuf, bl, cast=bool))
+    d["pidx"] = ProblemIndex(
+        **{k: d.pop(k) for k in _PIDX_I}, sp_valid=d.pop("sp_valid"))
+    d["drop_slot"] = d.pop("drop_slot")[0]
+
+    # incoming-landmark preparation (no extra dispatch): anchors' INITIAL
+    # states are the new_q/new_t rows of their slots — the same values
+    # the batch `prepare_landmarks` used
+    rp = d["lm_ref_pose"]
+    x = prepare_rows(d["lm_x_w"], d["new_q"][rp], d["new_t"][rp], rig,
+                     d["lm_ref_cam"], d["lm_z_ref"], d["lm_has_z_ref"],
+                     config)
+    d["new_lm_x"] = jnp.where(d["new_lm_mask"][:, None], x, 0.0)
+    return ring_slide_step(carry, d, rig, g_vec, config, use_imu,
+                           iters_per_slide, W, L_w)
+
+
 class StreamingRing:
     """Incremental fixed-lag smoother over a W-keyframe ring.
 
@@ -99,11 +223,13 @@ class StreamingRing:
             ring.add_projection(z, g, lm_id)           # per observation
             out = ring.push()                          # None until warm
             if out is not None:
-                ...out["q"], out["t"]...               # retired keyframe g0
+                ...out["q"], out["t"]...               # retired keyframe
 
     `push()` fires at most one slide: once W keyframes are buffered, every
     subsequent keyframe retires the oldest one and returns its post-solve
-    estimate.
+    estimate.  `push(block=False)` returns device arrays without
+    synchronizing (slides pipeline; call `jax.device_get` on the outputs
+    when needed).
     """
 
     def __init__(self, config: BAConfig, W: int, rig: Rig, g_vec,
@@ -119,27 +245,26 @@ class StreamingRing:
         self.rig = rig
         self.g_vec = jnp.asarray(g_vec)
         self.dtype = np.dtype(dtype)
+        self._C = int(rig.params.shape[1])
+        self._layouts = _make_layouts(W, self._C, caps)
 
         # host buffers (live window only — O(window) memory and per-slide
-        # host work)
+        # host work); the add_* path does ZERO device work.  Measurements
+        # accumulate in per-keyframe row lists and are finalized into
+        # COLUMNAR numpy chunks at first use, so the per-slide table build
+        # is W vectorized concatenations, not per-row Python loops.
         self._poses: Dict[int, Dict[str, Any]] = {}
         self._lms: Dict[int, Dict[str, Any]] = {}
-        self._proj: List[Dict[str, Any]] = []
-        self._imu: List[Dict[str, Any]] = []
-        self._unary: List[Dict[str, Any]] = []
-        self._binary: List[Dict[str, Any]] = []
+        self._lm_by_ref: Dict[int, List[int]] = {}
+        self._pend: Dict[str, Dict[int, List[Dict[str, Any]]]] = {
+            "proj": {}, "imu": {}, "unary": {}, "binary": {}}
+        self._chunks: Dict[str, Dict[int, Dict[str, Any]]] = {
+            "proj": {}, "imu": {}, "unary": {}, "binary": {}}
+        self._lm_chunks: Dict[int, Dict[str, Any]] = {}
         self._n_poses = 0
         self._next_lm = 0
         self._next_slide = 0
-        self._prev_lm = np.zeros(0, np.int64)
         self._carry = None
-
-        # resident compiled slide program (compiles on the first push; all
-        # subsequent slides reuse it — the tables are shape-static)
-        self._step = jax.jit(
-            ring_slide_step,
-            static_argnames=("config", "use_imu", "iters_per_slide",
-                             "W", "L_w"))
 
     # ---- Add* API (reference BundleAdjuster.h:292-546) ----
 
@@ -164,38 +289,42 @@ class StreamingRing:
     def add_landmark(self, x_w, ref_pose: int, ref_cam: int = 0,
                      z_ref=None) -> int:
         """Buffer one landmark anchored at (in-window) `ref_pose`.  The
-        parameterized state is prepared from the anchor pose's CURRENT
-        buffered guess (same math as `problem.prepare_landmarks`)."""
+        parameterized state is prepared from the anchor pose's buffered
+        guess INSIDE the slide program (same math as
+        `problem.prepare_landmarks`)."""
         lid = self._next_lm
         self._next_lm += 1
         x_w = np.asarray(x_w, self.dtype)
         if x_w.shape[0] == 3:
             x_w = np.concatenate([x_w, np.ones(1, self.dtype)])
         has_z = z_ref is not None
-        z_ref_a = (np.asarray(z_ref, self.dtype) if has_z
-                   else np.zeros(2, self.dtype))
         self._lms[lid] = dict(
-            x=self._prepare_x(x_w, ref_pose, ref_cam, z_ref_a, has_z),
             x_w=x_w, ref_pose=ref_pose, ref_cam=ref_cam,
-            z_ref=z_ref_a, has_z_ref=has_z)
+            z_ref=(np.asarray(z_ref, self.dtype) if has_z
+                   else np.zeros(2, self.dtype)),
+            has_z_ref=has_z)
+        self._lm_by_ref.setdefault(ref_pose, []).append(lid)
+        self._lm_chunks.pop(ref_pose, None)      # chunk now stale
         return lid
 
     def add_projection(self, z, pose: int, lm: int, cam: int = 0,
                        weight: float = 1.0, cond: bool = False) -> None:
         """In inverse-depth mode the observation from the landmark's
         reference pose+camera is not a residual (it would be identically
-        zero, BundleAdjuster.h:488-501) — it is recorded as z_ref and the
-        landmark ray is re-prepared from it (same as ProblemBuilder)."""
+        zero, BundleAdjuster.h:488-501) — it is recorded as z_ref so the
+        landmark ray is prepared from it (same as ProblemBuilder)."""
         z = np.asarray(z, self.dtype)
         d = self._lms.get(lm)
         if (self.config.lm_size == 1 and d is not None
                 and pose == d["ref_pose"] and cam == d["ref_cam"]):
             d["z_ref"] = z
             d["has_z_ref"] = True
-            d["x"] = self._prepare_x(d["x_w"], pose, cam, z, True)
+            self._lm_chunks.pop(d["ref_pose"], None)
             return
-        self._proj.append(dict(z=z, pose=pose, lm=lm, cam=cam,
-                               weight=weight, cond=cond))
+        self._pend["proj"].setdefault(pose, []).append(
+            dict(z=z, pose=pose, lm=lm, cam=cam, weight=weight,
+                 cond=cond))
+        self._chunks["proj"].pop(pose, None)
 
     def add_imu(self, pose1: int, pose2: int, w, a, times,
                 cond: bool = False) -> None:
@@ -205,46 +334,63 @@ class StreamingRing:
         w = np.asarray(w, self.dtype).reshape(-1, 3)
         n = w.shape[0]
         assert n <= M, f"IMU span {n} exceeds capacity {M}"
-        self._imu.append(dict(
+        self._pend["imu"].setdefault(pose1, []).append(dict(
             pose1=pose1, pose2=pose2,
             w=_pad_rows(w, M),
             a=_pad_rows(np.asarray(a, self.dtype).reshape(-1, 3), M),
             time=_pad_rows(np.asarray(times, self.dtype).reshape(-1), M),
             meas_valid=_pad_rows(np.ones(n, bool), M, False),
             weight=1.0, cond=cond))
+        self._chunks["imu"].pop(pose1, None)
 
     def add_unary(self, pose: int, q, t, cov_inv) -> None:
-        self._unary.append(dict(pose=pose, q=np.asarray(q, self.dtype),
-                                t=np.asarray(t, self.dtype),
-                                cov_inv=np.asarray(cov_inv, self.dtype)))
+        self._pend["unary"].setdefault(pose, []).append(
+            dict(pose=pose, q=np.asarray(q, self.dtype),
+                 t=np.asarray(t, self.dtype),
+                 cov_inv=np.asarray(cov_inv, self.dtype)))
+        self._chunks["unary"].pop(pose, None)
 
     def add_binary(self, pose1: int, pose2: int, q, t, cov_inv) -> None:
-        self._binary.append(dict(pose1=pose1, pose2=pose2,
-                                 q=np.asarray(q, self.dtype),
-                                 t=np.asarray(t, self.dtype),
-                                 cov_inv=np.asarray(cov_inv, self.dtype)))
+        self._pend["binary"].setdefault(pose1, []).append(
+            dict(pose1=pose1, pose2=pose2,
+                 q=np.asarray(q, self.dtype),
+                 t=np.asarray(t, self.dtype),
+                 cov_inv=np.asarray(cov_inv, self.dtype)))
+        self._chunks["binary"].pop(pose1, None)
 
     # ---- the slide ----
 
-    def push(self) -> Optional[Dict[str, Any]]:
+    def push(self, block: bool = True) -> Optional[Dict[str, Any]]:
         """Fire the next slide if its window is complete.  Returns the
         retired keyframe's post-solve estimate
-        (dict: pose id, q, t, v, b, cost) or None while warming up."""
+        (dict: pose, q, t, v, b, cost) or None while warming up.
+
+        `block=False` skips the device synchronization: the returned
+        arrays are asynchronous jax values and successive pushes pipeline
+        behind the device/transfer queue (the latency-bound serving
+        mode)."""
         k = self._next_slide
         if self._n_poses < k + self.W:
             # slide k waits for pose k+W-1 (its full window)
             return None
         if self._carry is None:
             self._init_carry()
-        inp = self._slide_tables(k)
-        self._carry, out = self._step(
-            self._carry, inp, self.rig, self.g_vec, config=self.config,
+        d = self._slide_tables(k)
+        fl, il, bl = self._layouts
+        fbuf = _pack(d, fl, self.dtype)
+        ibuf = _pack(d, il, np.int32)
+        bbuf = _pack(d, bl, np.uint8)
+        self._carry, out = _packed_slide_step(
+            self._carry, fbuf, ibuf, bbuf, self.rig, self.g_vec,
+            layouts=self._layouts, config=self.config,
             use_imu=self.use_imu, iters_per_slide=self.iters, W=self.W,
             L_w=self.caps.L_w)
         self._next_slide = k + 1
         self._retire(k)
-        res = {f: np.asarray(v) for f, v in out.items()}
+        res: Dict[str, Any] = dict(out)
         res["pose"] = k
+        if block:
+            res = jax.device_get(res)
         return res
 
     def current_window(self):
@@ -258,67 +404,124 @@ class StreamingRing:
 
     # ---- internals ----
 
-    def _prepare_x(self, x_w, ref_pose, ref_cam, z_ref, has_z):
-        """Single-landmark `prepare_landmarks` (problem.py:1127-1154):
-        same jnp ops on 1-row arrays -> bitwise-equal prepared state."""
-        cfg = self.config
-        if cfg.lm_size != 1:
-            return x_w.copy()
-        p = self._poses[ref_pose]
-        q_wv = jnp.asarray(p["q"])[None]
-        t_wv = jnp.asarray(p["t"])[None]
-        rc = np.asarray([ref_cam])
-        T_ws = lie.se3_compose((q_wv, t_wv),
-                               (self.rig.tvs_q[rc], self.rig.tvs_t[rc]))
-        x_s = lie.se3_transform_homog(lie.se3_inverse(T_ws),
-                                      jnp.asarray(x_w)[None])
-        norm = jnp.maximum(jnp.linalg.norm(x_s[..., :3], axis=-1,
-                                           keepdims=True), 1e-12)
-        x_s = x_s / norm
-        if has_z:
-            ray = cam_mod.unproject(self.rig.params[rc],
-                                    self.rig.model[rc],
-                                    jnp.asarray(z_ref)[None])
-            x_s = jnp.concatenate([ray, x_s[..., 3:4]], axis=-1)
-        return np.asarray(x_s[0], self.dtype)
+    # ---- columnar chunk finalization (one conversion per keyframe) ----
 
-    def _alive_lms(self, k: int) -> np.ndarray:
-        """Sorted global ids of landmarks anchored in window [k, k+W)."""
-        return np.array(sorted(
-            lid for lid, d in self._lms.items()
-            if k <= d["ref_pose"] < k + self.W), np.int64)
+    def _lm_chunk(self, g: int) -> Dict[str, Any]:
+        """Columnar view of the landmarks anchored at keyframe g."""
+        ch = self._lm_chunks.get(g)
+        if ch is None:
+            ids = np.array(self._lm_by_ref.get(g, ()), np.int64)
+            lms = [self._lms[i] for i in ids]
+            ch = dict(
+                ids=ids,
+                x_w=(np.stack([d["x_w"] for d in lms]) if lms
+                     else np.zeros((0, 4), self.dtype)),
+                ref_cam=np.array([d["ref_cam"] for d in lms], np.int64),
+                z_ref=(np.stack([d["z_ref"] for d in lms]) if lms
+                       else np.zeros((0, 2), self.dtype)),
+                has_z=np.array([d["has_z_ref"] for d in lms], bool))
+            self._lm_chunks[g] = ch
+        return ch
+
+    def _chunk(self, fam: str, g: int, build) -> Dict[str, Any]:
+        ch = self._chunks[fam].get(g)
+        if ch is None:
+            ch = build(self._pend[fam].get(g, ()))
+            self._chunks[fam][g] = ch
+        return ch
+
+    def _proj_chunk(self, g: int) -> Dict[str, Any]:
+        def build(rows):
+            dt = self.dtype
+            lm = np.array([r["lm"] for r in rows], np.int64)
+            return dict(
+                z=(np.stack([r["z"] for r in rows]) if rows
+                   else np.zeros((0, 2), dt)),
+                lm=lm,
+                # the anchor pose of each row's landmark, for the O(1)
+                # per-slide aliveness filter; -1 (always filtered) when
+                # the landmark's anchor already left the window (tracks
+                # longer than W — the batch build drops those rows too)
+                lm_ref=np.array(
+                    [self._lms[i]["ref_pose"] if i in self._lms else -1
+                     for i in lm], np.int64),
+                cam=np.array([r["cam"] for r in rows], np.int64),
+                weight=np.array([r["weight"] for r in rows], dt),
+                cond=np.array([r["cond"] for r in rows], bool))
+        return self._chunk("proj", g, build)
+
+    def _imu_chunk(self, g: int) -> Dict[str, Any]:
+        def build(rows):
+            dt = self.dtype
+            M = self.caps.imu_span
+            return dict(
+                pose1=np.array([r["pose1"] for r in rows], np.int64),
+                pose2=np.array([r["pose2"] for r in rows], np.int64),
+                w=(np.stack([r["w"] for r in rows]) if rows
+                   else np.zeros((0, M, 3), dt)),
+                a=(np.stack([r["a"] for r in rows]) if rows
+                   else np.zeros((0, M, 3), dt)),
+                time=(np.stack([r["time"] for r in rows]) if rows
+                      else np.zeros((0, M), dt)),
+                meas_valid=(np.stack([r["meas_valid"] for r in rows])
+                            if rows else np.zeros((0, M), bool)),
+                weight=np.array([r["weight"] for r in rows], dt),
+                cond=np.array([r["cond"] for r in rows], bool))
+        return self._chunk("imu", g, build)
+
+    def _unary_chunk(self, g: int) -> Dict[str, Any]:
+        def build(rows):
+            dt = self.dtype
+            return dict(
+                pose=np.array([r["pose"] for r in rows], np.int64),
+                q=(np.stack([r["q"] for r in rows]) if rows
+                   else np.zeros((0, 4), dt)),
+                t=(np.stack([r["t"] for r in rows]) if rows
+                   else np.zeros((0, 3), dt)),
+                cov_inv=(np.stack([r["cov_inv"] for r in rows]) if rows
+                         else np.zeros((0, 6, 6), dt)))
+        return self._chunk("unary", g, build)
+
+    def _binary_chunk(self, g: int) -> Dict[str, Any]:
+        def build(rows):
+            dt = self.dtype
+            return dict(
+                pose1=np.array([r["pose1"] for r in rows], np.int64),
+                pose2=np.array([r["pose2"] for r in rows], np.int64),
+                q=(np.stack([r["q"] for r in rows]) if rows
+                   else np.zeros((0, 4), dt)),
+                t=(np.stack([r["t"] for r in rows]) if rows
+                   else np.zeros((0, 3), dt)),
+                cov_inv=(np.stack([r["cov_inv"] for r in rows]) if rows
+                         else np.zeros((0, 6, 6), dt)))
+        return self._chunk("binary", g, build)
 
     def _init_carry(self):
-        """First-window carry, matching `build_ring_schedule`'s carry0."""
+        """First-window carry.  Unlike the batch carry0, lx starts at
+        zero — slide 0 loads ALL its landmarks through new_lm_mask with
+        in-program preparation (value-identical to the batch's
+        pre-prepared carry0)."""
         W, L_w = self.W, self.caps.L_w
         D = self.config.pose_dim
         q = np.stack([self._poses[g]["q"] for g in range(W)])
         t = np.stack([self._poses[g]["t"] for g in range(W)])
         v = np.stack([self._poses[g]["v"] for g in range(W)])
         b = np.stack([self._poses[g]["b"] for g in range(W)])
-        lm_ids0 = self._alive_lms(0)
         lx0 = np.zeros((L_w, 4), self.dtype)
-        if len(lm_ids0):
-            lx0[lm_ids0 % L_w] = np.stack(
-                [self._lms[i]["x"] for i in lm_ids0])
         marg0 = empty_marg_prior(W, D, jnp.asarray(t).dtype)
         self._carry = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(v),
                        jnp.asarray(b), jnp.asarray(lx0), marg0)
-        self._prev_lm = lm_ids0
 
     def _slide_tables(self, k: int) -> Dict[str, Any]:
-        """Slide k's slot tables — the streaming twin of the loop body in
-        `fixedlag.build_ring_schedule` (kept value-identical; the
-        bit-identity test pins the two)."""
+        """Slide k's slot tables as NUMPY arrays — the streaming twin of
+        the loop body in `fixedlag.build_ring_schedule` (kept
+        value-identical; the equivalence tests pin the two).  The only
+        layout deviations from the batch tables: `new_lm_x` is replaced
+        by in-program preparation from `lm_x_w` + anchor states, and
+        slide 0 loads its landmarks through `new_lm_mask` instead of the
+        carry.  All construction is vectorized over per-keyframe columnar
+        chunks (no per-row Python)."""
         W, L_w, caps, dt = self.W, self.caps.L_w, self.caps, self.dtype
-        lm_ids = self._alive_lms(k)
-        assert len(lm_ids) <= L_w, \
-            f"{len(lm_ids)} alive landmarks exceed L_w={L_w}"
-        assert len(np.unique(lm_ids % L_w)) == len(lm_ids), \
-            "alive landmark ids must map 1:1 under mod L_w"
-        in_win = lambda p: (k <= p < k + W)             # noqa: E731
-        alive = set(lm_ids.tolist())
-
         d: Dict[str, Any] = {}
         win = np.arange(k, k + W)
         slot = win % W
@@ -327,8 +530,7 @@ class StreamingRing:
         d["pose_time"] = np.array([self._poses[g]["time"] for g in inv],
                                   dt)
         d["pose_mask"] = np.stack([self._poses[g]["mask"] for g in inv])
-        d["pose_cam_params"] = np.zeros(
-            (W, int(self.rig.params.shape[1])), dt)
+        d["pose_cam_params"] = np.zeros((W, self._C), dt)
         d["pose_active"] = np.ones(W, bool)
         new_mask = np.zeros(W, bool)
         if k > 0:
@@ -339,140 +541,127 @@ class StreamingRing:
         d["new_v"] = np.stack([self._poses[g]["v"] for g in inv])
         d["new_b"] = np.stack([self._poses[g]["b"] for g in inv])
 
-        # landmark slots
-        lmg = np.zeros(L_w, np.int64)
+        # ---- landmark slots (scatter per-keyframe chunks) ----
+        lm_chs = [self._lm_chunk(g) for g in win]
+        lm_ids = np.concatenate([c["ids"] for c in lm_chs])
+        assert len(lm_ids) <= L_w, \
+            f"{len(lm_ids)} alive landmarks exceed L_w={L_w}"
+        slots_l = lm_ids % L_w
+        assert len(np.unique(slots_l)) == len(lm_ids), \
+            "alive landmark ids must map 1:1 under mod L_w"
         lm_alive = np.zeros(L_w, bool)
-        if len(lm_ids):
-            lmg[lm_ids % L_w] = lm_ids
-            lm_alive[lm_ids % L_w] = True
-
-        def lm_field(f, shape, fill=0):
-            out = np.full((L_w,) + shape, fill,
-                          dt if shape else np.int64)
-            for i in lm_ids:
-                out[i % L_w] = self._lms[i][f]
-            return out
-
-        d["lm_ref_pose"] = np.where(
-            lm_alive, lm_field("ref_pose", ()) % W, 0).astype(np.int32)
-        d["lm_ref_cam"] = np.where(
-            lm_alive, lm_field("ref_cam", ()), 0).astype(np.int32)
+        lm_alive[slots_l] = True
+        rp = np.zeros(L_w, np.int64)
+        rp[slots_l] = np.concatenate(
+            [np.full(len(c["ids"]), g, np.int64)
+             for g, c in zip(win, lm_chs)])
+        d["lm_ref_pose"] = np.where(lm_alive, rp % W, 0).astype(np.int32)
+        rc = np.zeros(L_w, np.int64)
+        rc[slots_l] = np.concatenate([c["ref_cam"] for c in lm_chs])
+        d["lm_ref_cam"] = rc.astype(np.int32)
         d["lm_active"] = lm_alive
-        d["lm_z_ref"] = lm_field("z_ref", (2,))
-        d["lm_has_z_ref"] = np.zeros(L_w, bool)
-        for i in lm_ids:
-            d["lm_has_z_ref"][i % L_w] = self._lms[i]["has_z_ref"]
-        d["lm_x_w"] = lm_field("x_w", (4,))
-        new_lms = (np.setdiff1d(lm_ids, self._prev_lm) if k
-                   else np.zeros(0, np.int64))
+        zr = np.zeros((L_w, 2), dt)
+        zr[slots_l] = np.concatenate([c["z_ref"] for c in lm_chs])
+        d["lm_z_ref"] = zr
+        hz = np.zeros(L_w, bool)
+        hz[slots_l] = np.concatenate([c["has_z"] for c in lm_chs])
+        d["lm_has_z_ref"] = hz
+        xw = np.zeros((L_w, 4), dt)
+        xw[slots_l] = np.concatenate([c["x_w"] for c in lm_chs])
+        d["lm_x_w"] = xw
+        # newly-alive = landmarks anchored at the incoming pose (slide 0:
+        # the whole first window; batch loads those via carry0)
         nl_mask = np.zeros(L_w, bool)
-        nl_mask[new_lms % L_w] = True
+        if k == 0:
+            nl_mask[:] = lm_alive
+        else:
+            nl = self._lm_chunk(k + W - 1)["ids"]
+            nl_mask[nl % L_w] = True
         d["new_lm_mask"] = nl_mask
-        new_lm_x = np.zeros((L_w, 4), dt)
-        for i in new_lms:
-            new_lm_x[i % L_w] = self._lms[i]["x"]
-        d["new_lm_x"] = new_lm_x
-        self._prev_lm = lm_ids
 
-        # residual tables (insertion order = arrival order)
-        pr = [r for r in self._proj
-              if r["lm"] in alive and in_win(r["pose"])]
-        assert len(pr) <= caps.n_proj, \
-            f"{len(pr)} projection rows exceed capacity {caps.n_proj}"
+        # ---- residual tables (chunk concat + vectorized filters) ----
+        pcs = [self._proj_chunk(g) for g in win]
+        keep = [c["lm_ref"] >= k for c in pcs]
+        n_pr = int(sum(m.sum() for m in keep))
+        assert n_pr <= caps.n_proj, \
+            f"{n_pr} projection rows exceed capacity {caps.n_proj}"
         Np = caps.n_proj
-        d["proj_z"] = _pad_rows(
-            np.stack([r["z"] for r in pr]) if pr
-            else np.zeros((0, 2), dt), Np)
-        d["proj_pose"] = _pad_rows(
-            np.array([r["pose"] % W for r in pr], np.int64), Np
-        ).astype(np.int32)
-        d["proj_lm"] = _pad_rows(
-            np.array([r["lm"] % L_w for r in pr], np.int64), Np
-        ).astype(np.int32)
-        d["proj_cam"] = _pad_rows(
-            np.array([r["cam"] for r in pr], np.int64), Np
-        ).astype(np.int32)
-        d["proj_weight"] = _pad_rows(
-            np.array([r["weight"] for r in pr], dt), Np)
-        d["proj_valid"] = _pad_rows(np.ones(len(pr), bool), Np, False)
-        d["proj_cond"] = _pad_rows(
-            np.array([r["cond"] for r in pr], bool), Np, False)
 
-        im = [r for r in self._imu
-              if in_win(r["pose1"]) and in_win(r["pose2"])]
-        assert len(im) <= caps.n_imu
+        def cat_p(f):
+            return np.concatenate([c[f][m] for c, m in zip(pcs, keep)])
+
+        d["proj_z"] = _pad_rows(cat_p("z"), Np)
+        pose_rows = np.concatenate(
+            [np.full(int(m.sum()), g, np.int64)
+             for g, m in zip(win, keep)])
+        d["proj_pose"] = _pad_rows(pose_rows % W, Np).astype(np.int32)
+        d["proj_lm"] = _pad_rows(cat_p("lm") % L_w, Np).astype(np.int32)
+        d["proj_cam"] = _pad_rows(cat_p("cam"), Np).astype(np.int32)
+        d["proj_weight"] = _pad_rows(cat_p("weight"), Np)
+        d["proj_valid"] = _pad_rows(np.ones(n_pr, bool), Np, False)
+        d["proj_cond"] = _pad_rows(cat_p("cond"), Np, False)
+
+        ics = [self._imu_chunk(g) for g in win]
+        ikeep = [(c["pose1"] >= k) & (c["pose1"] < k + W)
+                 & (c["pose2"] >= k) & (c["pose2"] < k + W) for c in ics]
+        n_im = int(sum(m.sum() for m in ikeep))
+        assert n_im <= caps.n_imu
         Ni = caps.n_imu
-        M = caps.imu_span
-        d["imu_pose1"] = _pad_rows(
-            np.array([r["pose1"] % W for r in im], np.int64), Ni
-        ).astype(np.int32)
-        d["imu_pose2"] = _pad_rows(
-            np.array([r["pose2"] % W for r in im], np.int64), Ni
-        ).astype(np.int32)
-        d["imu_w"] = _pad_rows(
-            np.stack([r["w"] for r in im]) if im
-            else np.zeros((0, M, 3), dt), Ni)
-        d["imu_a"] = _pad_rows(
-            np.stack([r["a"] for r in im]) if im
-            else np.zeros((0, M, 3), dt), Ni)
-        d["imu_time"] = _pad_rows(
-            np.stack([r["time"] for r in im]) if im
-            else np.zeros((0, M), dt), Ni)
-        d["imu_meas_valid"] = _pad_rows(
-            np.stack([r["meas_valid"] for r in im]) if im
-            else np.zeros((0, M), bool), Ni, False)
-        d["imu_weight"] = _pad_rows(
-            np.array([r["weight"] for r in im], dt), Ni, 1)
-        d["imu_valid"] = _pad_rows(np.ones(len(im), bool), Ni, False)
-        d["imu_cond"] = _pad_rows(
-            np.array([r["cond"] for r in im], bool), Ni, False)
 
-        un = [r for r in self._unary if in_win(r["pose"])]
-        assert len(un) <= caps.n_unary
+        def cat_i(f):
+            return np.concatenate([c[f][m] for c, m in zip(ics, ikeep)])
+
+        d["imu_pose1"] = _pad_rows(cat_i("pose1") % W, Ni).astype(np.int32)
+        d["imu_pose2"] = _pad_rows(cat_i("pose2") % W, Ni).astype(np.int32)
+        d["imu_w"] = _pad_rows(cat_i("w"), Ni)
+        d["imu_a"] = _pad_rows(cat_i("a"), Ni)
+        d["imu_time"] = _pad_rows(cat_i("time"), Ni)
+        d["imu_meas_valid"] = _pad_rows(cat_i("meas_valid"), Ni, False)
+        d["imu_weight"] = _pad_rows(cat_i("weight"), Ni, 1)
+        d["imu_valid"] = _pad_rows(np.ones(n_im, bool), Ni, False)
+        d["imu_cond"] = _pad_rows(cat_i("cond"), Ni, False)
+
+        ucs = [self._unary_chunk(g) for g in win]
+        n_un = int(sum(len(c["pose"]) for c in ucs))
+        assert n_un <= caps.n_unary
         Nu = caps.n_unary
-        d["unary_pose"] = _pad_rows(
-            np.array([r["pose"] % W for r in un], np.int64), Nu
-        ).astype(np.int32)
-        d["unary_q"] = _pad_rows(
-            np.stack([r["q"] for r in un]) if un
-            else np.zeros((0, 4), dt), Nu)
-        d["unary_q"][len(un):, 0] = 1.0
-        d["unary_t"] = _pad_rows(
-            np.stack([r["t"] for r in un]) if un
-            else np.zeros((0, 3), dt), Nu)
-        d["unary_cov_inv"] = _pad_rows(
-            np.stack([r["cov_inv"] for r in un]) if un
-            else np.zeros((0, 6, 6), dt), Nu)
-        d["unary_valid"] = _pad_rows(np.ones(len(un), bool), Nu, False)
 
-        bi = [r for r in self._binary
-              if in_win(r["pose1"]) and in_win(r["pose2"])]
-        assert len(bi) <= caps.n_binary
+        def cat_u(f):
+            return np.concatenate([c[f] for c in ucs])
+
+        d["unary_pose"] = _pad_rows(cat_u("pose") % W, Nu).astype(np.int32)
+        d["unary_q"] = _pad_rows(cat_u("q"), Nu)
+        d["unary_q"][n_un:, 0] = 1.0
+        d["unary_t"] = _pad_rows(cat_u("t"), Nu)
+        d["unary_cov_inv"] = _pad_rows(cat_u("cov_inv"), Nu)
+        d["unary_valid"] = _pad_rows(np.ones(n_un, bool), Nu, False)
+
+        bcs = [self._binary_chunk(g) for g in win]
+        bkeep = [(c["pose1"] >= k) & (c["pose1"] < k + W)
+                 & (c["pose2"] >= k) & (c["pose2"] < k + W) for c in bcs]
+        n_bi = int(sum(m.sum() for m in bkeep))
+        assert n_bi <= caps.n_binary
         Nb = caps.n_binary
-        d["binary_pose1"] = _pad_rows(
-            np.array([r["pose1"] % W for r in bi], np.int64), Nb
-        ).astype(np.int32)
-        d["binary_pose2"] = _pad_rows(
-            np.array([r["pose2"] % W for r in bi], np.int64), Nb
-        ).astype(np.int32)
-        d["binary_q"] = _pad_rows(
-            np.stack([r["q"] for r in bi]) if bi
-            else np.zeros((0, 4), dt), Nb)
-        d["binary_q"][len(bi):, 0] = 1.0
-        d["binary_t"] = _pad_rows(
-            np.stack([r["t"] for r in bi]) if bi
-            else np.zeros((0, 3), dt), Nb)
-        d["binary_cov_inv"] = _pad_rows(
-            np.stack([r["cov_inv"] for r in bi]) if bi
-            else np.zeros((0, 6, 6), dt), Nb)
-        d["binary_valid"] = _pad_rows(np.ones(len(bi), bool), Nb, False)
+
+        def cat_b(f):
+            return np.concatenate([c[f][m] for c, m in zip(bcs, bkeep)])
+
+        d["binary_pose1"] = _pad_rows(cat_b("pose1") % W, Nb).astype(
+            np.int32)
+        d["binary_pose2"] = _pad_rows(cat_b("pose2") % W, Nb).astype(
+            np.int32)
+        d["binary_q"] = _pad_rows(cat_b("q"), Nb)
+        d["binary_q"][n_bi:, 0] = 1.0
+        d["binary_t"] = _pad_rows(cat_b("t"), Nb)
+        d["binary_cov_inv"] = _pad_rows(cat_b("cov_inv"), Nb)
+        d["binary_valid"] = _pad_rows(np.ones(n_bi, bool), Nb, False)
 
         # structure index over slot ids (same call as the batch build)
-        per_row, pidx = build_structure_index(
+        per_row, px = build_structure_index(
             d["proj_pose"], d["lm_ref_pose"][d["proj_lm"]], d["proj_lm"],
             d["proj_valid"], d["binary_pose1"], d["binary_pose2"],
             d["binary_valid"], d["imu_pose1"], d["imu_pose2"],
-            d["imu_valid"], W, L_w)
+            d["imu_valid"], W, L_w, as_numpy=True)
         d["proj_pair"] = per_row["pair"]
         d["proj_pair_swap"] = per_row["pair_swap"]
         d["proj_wb_meas"] = per_row["wb_meas"]
@@ -481,36 +670,31 @@ class StreamingRing:
         d["binary_pair_swap"] = per_row["bswap"]
         d["imu_pair"] = per_row["ipair"]
         d["imu_pair_swap"] = per_row["iswap"]
-        px = jax.tree_util.tree_map(np.asarray, pidx)
         for name, cap in (("pair_a", caps.n_pair), ("wb_pose", caps.n_wb),
                           ("bpair_a", caps.n_bpair),
                           ("ipair_a", caps.n_ipair), ("sp_i", caps.n_sp)):
             assert getattr(px, name).shape[0] <= cap, \
                 f"pidx.{name} {getattr(px, name).shape[0]} > cap {cap}"
-        d["pidx"] = ProblemIndex(
-            pair_a=_pad_rows(px.pair_a, caps.n_pair),
-            pair_b=_pad_rows(px.pair_b, caps.n_pair),
-            wb_pose=_pad_rows(px.wb_pose, caps.n_wb),
-            wb_lm=_pad_rows(px.wb_lm, caps.n_wb),
-            bpair_a=_pad_rows(px.bpair_a, caps.n_bpair),
-            bpair_b=_pad_rows(px.bpair_b, caps.n_bpair),
-            ipair_a=_pad_rows(px.ipair_a, caps.n_ipair),
-            ipair_b=_pad_rows(px.ipair_b, caps.n_ipair),
-            sp_i=_pad_rows(px.sp_i, caps.n_sp),
-            sp_j=_pad_rows(px.sp_j, caps.n_sp),
-            sp_valid=_pad_rows(px.sp_valid, caps.n_sp, False))
-        d["drop_slot"] = np.int32(k % W)
-        return jax.tree_util.tree_map(jnp.asarray, d)
+        d["pair_a"] = _pad_rows(px.pair_a, caps.n_pair)
+        d["pair_b"] = _pad_rows(px.pair_b, caps.n_pair)
+        d["wb_pose"] = _pad_rows(px.wb_pose, caps.n_wb)
+        d["wb_lm"] = _pad_rows(px.wb_lm, caps.n_wb)
+        d["bpair_a"] = _pad_rows(px.bpair_a, caps.n_bpair)
+        d["bpair_b"] = _pad_rows(px.bpair_b, caps.n_bpair)
+        d["ipair_a"] = _pad_rows(px.ipair_a, caps.n_ipair)
+        d["ipair_b"] = _pad_rows(px.ipair_b, caps.n_ipair)
+        d["sp_i"] = _pad_rows(px.sp_i, caps.n_sp)
+        d["sp_j"] = _pad_rows(px.sp_j, caps.n_sp)
+        d["sp_valid"] = _pad_rows(px.sp_valid, caps.n_sp, False)
+        d["drop_slot"] = np.array([k % W], np.int32)
+        return d
 
     def _retire(self, k: int) -> None:
         """Prune buffers after slide k retired pose k (O(window))."""
         self._poses.pop(k, None)
-        dead = [lid for lid, dd in self._lms.items()
-                if dd["ref_pose"] <= k]
-        for lid in dead:
-            del self._lms[lid]
-        self._proj = [r for r in self._proj
-                      if r["pose"] > k and r["lm"] in self._lms]
-        self._imu = [r for r in self._imu if r["pose1"] > k]
-        self._unary = [r for r in self._unary if r["pose"] > k]
-        self._binary = [r for r in self._binary if r["pose1"] > k]
+        for lid in self._lm_by_ref.pop(k, ()):
+            self._lms.pop(lid, None)
+        self._lm_chunks.pop(k, None)
+        for fam in ("proj", "imu", "unary", "binary"):
+            self._pend[fam].pop(k, None)
+            self._chunks[fam].pop(k, None)

@@ -41,12 +41,12 @@ N_ITERS = 25
 
 # CPU f32 measurements of the same workloads on the 4-core XLA:CPU host
 # (see BASELINE.md; re-measure with `python bench.py --cpu [--dogleg]`).
-# 2026-08-18 (GN): banded assembly + 25-iteration solve sped the CPU path
-# up too (was 300 at round 1's dense assembly / 10-iteration program).
-CPU_BASELINE_KF_S = 954.7
+# 2026-08-20 (GN): re-measured after the round-5 per-trial-norm plumbing
+# (was 954.7 on 2026-08-18; 300 at round 1's dense assembly).
+CPU_BASELINE_KF_S = 1018.8
 # 2026-08-20 (dogleg default config through solve_adaptive, ~6 adaptive
-# iterations to the exit criteria).
-CPU_BASELINE_KF_S_DOGLEG = 497.2
+# iterations to the exit criteria; measured, same host).
+CPU_BASELINE_KF_S_DOGLEG = 966.0
 
 
 def build(use_dogleg=False):

@@ -55,9 +55,6 @@ def _stream_from_problem(problem, cfg, W, iters, caps, push_all=True):
             sid = ring.add_landmark(np.asarray(lm.x_w[lid]), g,
                                     int(lm.ref_cam[lid]), z_ref=z_ref)
             assert sid == lid
-            # prepared state must match the batch prepare_landmarks
-            np.testing.assert_array_equal(ring._lms[sid]["x"],
-                                          np.asarray(lm.x[lid]))
         for r in np.where(prv & (prp == g))[0]:
             ring.add_projection(np.asarray(pr.z[r]), g, int(prl[r]),
                                 int(pr.cam[r]), float(pr.weight[r]),
@@ -157,20 +154,47 @@ def test_streaming_tables_value_identical_to_batch():
     finally:
         StreamingRing._slide_tables = orig
 
+    import jax.numpy as jnp
+
+    from ba_tpu.solver.streaming import prepare_rows
+
     assert sorted(captured) == list(range(n_slides))
+    pidx_fields = ("pair_a", "pair_b", "wb_pose", "wb_lm", "bpair_a",
+                   "bpair_b", "ipair_a", "ipair_b", "sp_i", "sp_j",
+                   "sp_valid")
     for k, d in captured.items():
         for key, val in d.items():
-            if key == "pidx":
-                for f in ("pair_a", "pair_b", "wb_pose", "wb_lm",
-                          "bpair_a", "bpair_b", "ipair_a", "ipair_b",
-                          "sp_i", "sp_j", "sp_valid"):
-                    np.testing.assert_array_equal(
-                        np.asarray(getattr(val, f)),
-                        np.asarray(getattr(sched.inputs["pidx"], f))[k],
-                        err_msg=f"slide {k} pidx.{f}")
-            elif key == "pose_cam_params":
-                continue        # unused without use_per_pose_cam_params
-            else:
+            if key in pidx_fields:
+                np.testing.assert_array_equal(
+                    np.asarray(val),
+                    np.asarray(getattr(sched.inputs["pidx"], key))[k],
+                    err_msg=f"slide {k} pidx.{key}")
+            elif key in ("pose_cam_params", "lm_x_w", "drop_slot",
+                         "new_lm_mask"):
+                continue        # checked below / unused / layout-local
+            elif key in sched.inputs:
                 np.testing.assert_array_equal(
                     np.asarray(val), np.asarray(sched.inputs[key])[k],
                     err_msg=f"slide {k} {key}")
+        assert int(d["drop_slot"][0]) == k % W
+        # the in-program landmark preparation must reproduce the batch
+        # pre-prepared values bitwise (rowwise-elementwise math)
+        rp = d["lm_ref_pose"]
+        x = np.asarray(prepare_rows(
+            jnp.asarray(d["lm_x_w"]), jnp.asarray(d["new_q"])[rp],
+            jnp.asarray(d["new_t"])[rp], sched.rig,
+            jnp.asarray(d["lm_ref_cam"]), jnp.asarray(d["lm_z_ref"]),
+            jnp.asarray(d["lm_has_z_ref"]), cfg))
+        eff = np.where(d["new_lm_mask"][:, None], x, 0.0)
+        if k == 0:
+            # slide 0 loads via new_lm_mask (batch: via carry0)
+            np.testing.assert_array_equal(d["new_lm_mask"],
+                                          d["lm_active"])
+            np.testing.assert_array_equal(
+                eff, np.asarray(sched.carry0[4]), err_msg="carry0 lx")
+        else:
+            np.testing.assert_array_equal(
+                d["new_lm_mask"], np.asarray(sched.inputs["new_lm_mask"])[k])
+            np.testing.assert_array_equal(
+                eff, np.asarray(sched.inputs["new_lm_x"])[k],
+                err_msg=f"slide {k} new_lm_x")
