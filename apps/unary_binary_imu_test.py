@@ -321,6 +321,94 @@ def build_problem_from_records(imu_arr, gps_rows, guesses):
     return problem, cfg
 
 
+def run_streaming(imu_arr, gps_rows, guesses, W, out,
+                  iters_per_slide=6):
+    """Online fixed-lag variant of the smoother: the reference f_gps
+    pattern driven through `solver.streaming.StreamingRing` — one pose +
+    unary prior + IMU span in per GPS fix, one retired-keyframe estimate
+    out per fix once the window is warm.  Pose-graph mode (lm_size=0).
+
+    Runs in f64 on CPU, like the reference binary (double throughout):
+    the GPS priors' DBL_MAX "unconstrained" rows put a ~1e15 condition
+    number into the marginalization Schur complement, which f32 cannot
+    carry across slides (measured: f64 tracks the 25-iteration batch
+    solve to 0.1 m RMSE; f32 diverges even with capped covariances).
+    This is a host-scale problem (tens of poses) — the vision-scale
+    f32 streaming path is `apps/vins_stream.py`."""
+    import time as _time
+
+    import jax
+
+    # must precede backend init; the batch path below never runs in this
+    # mode, so the process-wide switch is safe
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from ba_tpu.core import camera as cam_mod
+    from ba_tpu.core.problem import BAConfig, Rig
+    from ba_tpu.solver.streaming import RingCapacities, StreamingRing
+
+    cfg = BAConfig(pose_dim=9, lm_size=0, use_dogleg=False,
+                   enable_auto_regularization=False)
+    rig = Rig(params=jnp.zeros((1, cam_mod.MAX_PARAMS)),
+              model=jnp.zeros((1,), jnp.int32),
+              tvs_q=jnp.asarray([[1.0, 0, 0, 0]]),
+              tvs_t=jnp.zeros((1, 3)))
+    # IMU-span capacity from the densest inter-fix interval
+    tt = np.array([r[0] for r in gps_rows])
+    spans = [int(((imu_arr[:, 0] >= a) & (imu_arr[:, 0] <= b)).sum())
+             for a, b in zip(tt[:-1], tt[1:])]
+    caps = RingCapacities(L_w=1, n_proj=1, n_imu=max(W - 1, 1),
+                          n_unary=W, imu_span=max(spans + [1]),
+                          n_ipair=max(W - 1, 1))
+    ring = StreamingRing(cfg, W, rig, jnp.asarray([0.0, 0.0, 9.8]),
+                         caps, use_imu=True,
+                         iters_per_slide=iters_per_slide,
+                         dtype=np.float64, gn_damping=1.0)
+
+    cov = np.diag([1000.0, 1000.0, 30000.0, DBL_MAX, DBL_MAX, DBL_MAX])
+    q = np.array([1.0, 0, 0, 0])
+    t_est = np.zeros(3)
+    prev_t = None
+    outs = []
+    t0 = _time.perf_counter()
+    for (fix_t, x, y, z), (dq, dt_vec) in zip(gps_rows, guesses):
+        if prev_t is not None:
+            t_est = t_est + _quat_rotate(q, dt_vec)
+            q = _quat_mul(q, dq)
+            q = q / np.linalg.norm(q)
+        g = ring.add_pose(q, t_est, time=fix_t)
+        ring.add_unary(g, [1.0, 0, 0, 0], [x, y, z], np.linalg.inv(cov))
+        if prev_t is not None:
+            seg = imu_arr[(imu_arr[:, 0] >= prev_t)
+                          & (imu_arr[:, 0] <= fix_t)]
+            ring.add_imu(g - 1, g, seg[:, 1:4], seg[:, 4:7], seg[:, 0])
+        o = ring.push(block=False)
+        if o is not None:
+            outs.append(o)
+        prev_t = fix_t
+    outs = jax.device_get(outs)
+    dt = _time.perf_counter() - t0
+    n = len(outs)
+    print(f"streamed {len(gps_rows)} fixes, retired {n} "
+          f"({n / max(dt, 1e-9):.1f}/s incl. compile); "
+          f"last cost {float(outs[-1]['cost']):.4g}")
+    win = ring.current_window()
+    with open(out, "w") as fh:
+        for o in outs:
+            fh.write(",".join(
+                f"{v:.6f}" for v in
+                [gps_rows[o['pose']][0]] + list(o["t"])) + "\n")
+        # the live window's current estimates complete the trajectory
+        for g in range(n, len(gps_rows)):
+            fh.write(",".join(
+                f"{v:.6f}" for v in
+                [gps_rows[g][0]] + list(win["t"][g % W])) + "\n")
+    print(f"wrote optimized trajectory to {out}")
+    return outs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("log", nargs="?", help="input log file")
@@ -328,6 +416,9 @@ def main():
                     help="write a synthetic reference-format log")
     ap.add_argument("--generate-csv", type=int, metavar="N_GPS",
                     help="write a synthetic CSV-format log")
+    ap.add_argument("--stream", type=int, metavar="W",
+                    help="online fixed-lag streaming smoother with "
+                         "window W (reference f_gps incremental pattern)")
     ap.add_argument("--out", default="trajectory.csv")
     args = ap.parse_args()
 
@@ -342,19 +433,31 @@ def main():
 
     import jax
 
+    if args.stream:
+        # must precede ANY backend initialization (ba_tpu import /
+        # device queries): the stream mode runs f64 on CPU (see
+        # run_streaming's docstring)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).resolve().parent.parent
                           / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    jax.config.update("jax_enable_x64", False)
+    if not args.stream:
+        jax.config.update("jax_enable_x64", False)
 
     from ba_tpu.solver import step as step_mod
 
     # --- parse ------------------------------------------------------------
     imu_arr, gps_rows, guesses = parse_log(args.log)
     print(f"parsed {len(imu_arr)} imu samples, {len(gps_rows)} gps fixes")
+
+    if args.stream:
+        run_streaming(imu_arr, gps_rows, guesses, args.stream, args.out)
+        return 0
 
     problem, cfg = build_problem_from_records(imu_arr, gps_rows, guesses)
     problem, summary = step_mod.solve(problem, cfg, max_iter=25,

@@ -428,7 +428,12 @@ def _wblock_table_np(pose_m, pose_r, lm, valid, n_lms, pad_multiple=1):
         uniq = np.zeros(0, np.int64)
     nw = _round_up(max(len(uniq), 1), pad_multiple)
     wp = np.zeros(nw, np.int32)
-    wl = np.zeros(nw, np.int32)
+    # padding rows carry the OUT-OF-RANGE landmark id m (== n_lms): their
+    # blocks are zero everywhere, but an in-range fake (pose 0, lm 0) row
+    # would corrupt per-landmark reductions over the table (segment_min
+    # of first-observing-pose in the grouped banded Schur path); gathers
+    # clip and scatters drop out-of-range ids, so consumers are unchanged
+    wl = np.full(nw, m, np.int32)
     wp[: len(uniq)] = uniq // m
     wl[: len(uniq)] = uniq % m
     return wb_m, wb_r, wp, wl, len(uniq)

@@ -529,8 +529,9 @@ def band_width_of(problem: Problem) -> int:
         d = np.asarray(b_t) - np.asarray(a_t)
         if d.size:
             b = max(b, int(d.max()))
-    # co-observation span per landmark (padding rows are (pose 0, lm 0)
-    # and can only tie lm 0's span to pose 0 — a harmless overestimate)
+    # co-observation span per landmark (padding rows carry the
+    # out-of-range landmark id n_lms — they only add a harmless extra
+    # zero-span entry at index n_lms)
     wp = np.asarray(idx.wb_pose, np.int64)
     wl = np.asarray(idx.wb_lm, np.int64)
     if wp.size:

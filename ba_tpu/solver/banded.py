@@ -80,6 +80,59 @@ def _band_self_cross(P, B, D, dtype, pb, ju, u_pose, jb1, jb2, b1, b2,
     return grid
 
 
+# Switch the banded Schur correction from the per-pair scatter to the
+# grouped per-landmark formulation past this many pair-table rows: the
+# sp-pair scatter-add moves O(sum_l n_l^2) 6x6 blocks through TPU's
+# serialized scatter (profiled 2026-08-20 at P=2048/L=8192: 2.8M pairs,
+# ~92 ms of a 165 ms iteration in sp gathers + sort + scatter), while the
+# grouped form is three batched einsums + ONE L-row scatter.  Below the
+# threshold the pair path wins (no (L, B, B, 6, 6) materialization).
+_GROUPED_SP_MIN = 200_000
+# ... but never materialize more than this many bytes of per-landmark
+# pair blocks (L * B^2 * 36 * 4)
+_GROUPED_C_BYTES_MAX = 4_000_000_000
+
+
+def _band_schur_grouped(idx, Wb, vinv, P: int, B: int, dtype):
+    """Banded Schur correction WITHOUT the per-pair table: every landmark's
+    observing poses span < B (the band contract), so its W blocks fit a
+    LOCAL (B, 6, lm) strip anchored at its first observing pose.  The
+    full per-landmark pair products are then one batched MXU einsum
+    (L, B, B, 6, 6), summed onto a per-anchor grid by an L-row
+    segment_sum, and folded onto the band by B static shifted adds —
+    replacing the O(sum_l n_l^2) serialized scatter-add of the sp-pair
+    formulation with pure batched matmul + one small scatter.
+
+    Returns corr (P, B, 6, 6): corr[a, d] = sum over landmarks of
+    Wb_{a,l} V_l^-1 Wb_{a+d,l}^T (the quantity band_S subtracts).
+    """
+    L, lm, _ = vinv.shape
+    wl = idx.wb_lm                       # padding rows carry wl == L
+    wp = idx.wb_pose
+    # first observing pose per landmark; padding rows (wl == L) are
+    # dropped by the out-of-range segment id
+    big = jnp.iinfo(jnp.int32).max
+    first = jax.ops.segment_min(wp, wl, num_segments=L)
+    first_safe = jnp.where(first == big, 0, first)
+    i_loc = wp - first_safe[jnp.clip(wl, 0, L - 1)]
+    ok_row = (wl < L) & (i_loc >= 0) & (i_loc < B)
+    seg = jnp.where(ok_row, wl * B + jnp.clip(i_loc, 0, B - 1), L * B)
+    from .assemble import seg_sum_blocks
+
+    Wl = seg_sum_blocks(Wb, seg, L * B).reshape(L, B, 6, lm)
+    WlVi = jnp.einsum("lbik,lkm->lbim", Wl, vinv)
+    C = jnp.einsum("lbim,lcjm->lbcij", WlVi, Wl)     # (L, B, B, 6, 6)
+    G = jax.ops.segment_sum(C.reshape(L, -1),
+                            jnp.clip(first_safe, 0, P - 1),
+                            num_segments=P).reshape(P, B, B, 6, 6)
+    # corr[a, d] = sum_i G[a - i, i, i + d]  (upper triangle j = i + d)
+    corr = jnp.zeros((P, B, 6, 6), dtype)
+    for i in range(B):
+        Gi = G[: P - i, i, i:]                       # (P - i, B - i, 6, 6)
+        corr = corr.at[i:, : B - i].add(Gi)
+    return corr
+
+
 def band_S(problem: Problem, config: BAConfig, bs: cg_mod.BlockSystem,
            P: int, D: int, lm_offset=None,
            add_identity: bool = True) -> jax.Array:
@@ -115,12 +168,32 @@ def band_S(problem: Problem, config: BAConfig, bs: cg_mod.BlockSystem,
         jnp.einsum("nik,nil->nkl", pj.j_r, pj.j_l)], axis=0)
     wb_ids = jnp.concatenate([problem.proj.wb_meas, problem.proj.wb_ref])
     Wb = seg_sum_blocks(wb_blocks, wb_ids, idx.wb_pose.shape[0])
+
+    lm = bs.vinv.shape[1]
+    grouped = (lm_offset is None
+               and idx.sp_i.shape[0] >= _GROUPED_SP_MIN
+               and bs.vinv.shape[0] * B * B * 36 * 4
+               <= _GROUPED_C_BYTES_MAX)
+    if grouped:
+        corr_g = _band_schur_grouped(idx, Wb, bs.vinv, P, B, dtype)
+        grid = _band_self_cross(P, B, D, dtype, bs.pj, bs.ju, bs.u_pose,
+                                bs.jb1, bs.jb2, bs.b1, bs.b2, bs.ji1,
+                                bs.ji2, bs.i1, bs.i2)
+        band = grid.reshape(P, B, D, D)
+        band = band.at[:, :, :6, :6].add(-corr_g)
+        pd = jnp.arange(P)[:, None] + jnp.arange(B)[None, :]
+        band = band * (pd < P)[:, :, None, None].astype(dtype)
+        if add_identity:
+            band = band_add_identity(band, bs.col_mask, P, D)
+        return band
+
     wb_lm = idx.wb_lm
     if lm_offset is not None:
         # localize to the shard's vinv chunk; non-owned rows have Wb == 0
         # so the gathered (wrong) inverse is annihilated
         wb_lm = jnp.clip(wb_lm - lm_offset, 0, bs.vinv.shape[0] - 1)
-    WbVi = jnp.einsum("nkl,nlm->nkm", Wb, bs.vinv[wb_lm])
+    WbVi = jnp.einsum("nkl,nlm->nkm", Wb, bs.vinv[jnp.clip(
+        wb_lm, 0, bs.vinv.shape[0] - 1)])
 
     a = idx.wb_pose[idx.sp_i]
     d = idx.wb_pose[idx.sp_j] - a

@@ -309,7 +309,7 @@ def build_ring_schedule(problem: Problem, config: BAConfig, W: int,
 
 
 def run_ring(schedule: RingSchedule, config: BAConfig, use_imu: bool,
-             iters_per_slide: int):
+             iters_per_slide: int, gn_damping: float = 1.0):
     """Scan the ring pipeline; returns (final_carry, outs) where outs is a
     dict of per-slide stacks: `cost` (last GN cost) and the retired
     keyframe's post-solve estimate `q`/`t`/`v`/`b` — i.e. the smoother's
@@ -322,11 +322,12 @@ def run_ring(schedule: RingSchedule, config: BAConfig, use_imu: bool,
     to kill remote compiles)."""
     return _run_ring_jit(schedule.inputs, schedule.carry0, schedule.rig,
                          schedule.g_vec, config, use_imu, iters_per_slide,
-                         schedule.W, schedule.L_w)
+                         schedule.W, schedule.L_w, gn_damping)
 
 
 def ring_slide_step(carry, inp, rig, g_vec, config: BAConfig,
-                    use_imu: bool, iters_per_slide: int, W: int, L_w: int):
+                    use_imu: bool, iters_per_slide: int, W: int, L_w: int,
+                    gn_damping: float = 1.0):
     """ONE slide of the ring pipeline: load incoming pose/landmarks into
     their slots, solve the compact W-pose window, marginalize the retiring
     pose, emit its post-solve estimate.
@@ -400,7 +401,7 @@ def ring_slide_step(carry, inp, rig, g_vec, config: BAConfig,
                       unary=unary, binary=binary, imu=imu,
                       g_vec=g_vec, marg=marg, pidx=inp["pidx"])
     problem, costs, _ = solve_fixed(problem, config, use_imu,
-                                    iters_per_slide)
+                                    iters_per_slide, gn_damping)
     drop = jnp.arange(W) == inp["drop_slot"]
     p2 = apply_marginalization(problem, config, use_imu, drop)
     new_carry = (p2.poses.q, p2.poses.t, p2.poses.v, p2.poses.b,
@@ -416,12 +417,14 @@ def ring_slide_step(carry, inp, rig, g_vec, config: BAConfig,
 
 
 @partial(jax.jit, static_argnames=("config", "use_imu", "iters_per_slide",
-                                   "W", "L_w"))
+                                   "W", "L_w", "gn_damping"))
 def _run_ring_jit(inputs, carry0, rig, g_vec, config: BAConfig,
-                  use_imu: bool, iters_per_slide: int, W: int, L_w: int):
+                  use_imu: bool, iters_per_slide: int, W: int, L_w: int,
+                  gn_damping: float = 1.0):
     def slide(carry, inp):
         return ring_slide_step(carry, inp, rig, g_vec, config,
-                               use_imu, iters_per_slide, W, L_w)
+                               use_imu, iters_per_slide, W, L_w,
+                               gn_damping)
 
     carry, outs = jax.lax.scan(slide, carry0, inputs)
     return carry, outs

@@ -184,10 +184,12 @@ def _unpack(buf, layout, cast=None):
 
 
 @partial(jax.jit, static_argnames=("layouts", "config", "use_imu",
-                                   "iters_per_slide", "W", "L_w"))
+                                   "iters_per_slide", "W", "L_w",
+                                   "gn_damping"))
 def _packed_slide_step(carry, fbuf, ibuf, bbuf, rig, g_vec, layouts,
                        config: BAConfig, use_imu: bool,
-                       iters_per_slide: int, W: int, L_w: int):
+                       iters_per_slide: int, W: int, L_w: int,
+                       gn_damping: float = 1.0):
     """Unpack the three flat buffers into the slide tables, prepare the
     incoming landmarks in-program, run `ring_slide_step`."""
     fl, il, bl = layouts
@@ -208,7 +210,7 @@ def _packed_slide_step(carry, fbuf, ibuf, bbuf, rig, g_vec, layouts,
                      config)
     d["new_lm_x"] = jnp.where(d["new_lm_mask"][:, None], x, 0.0)
     return ring_slide_step(carry, d, rig, g_vec, config, use_imu,
-                           iters_per_slide, W, L_w)
+                           iters_per_slide, W, L_w, gn_damping)
 
 
 class StreamingRing:
@@ -234,7 +236,8 @@ class StreamingRing:
 
     def __init__(self, config: BAConfig, W: int, rig: Rig, g_vec,
                  caps: RingCapacities, use_imu: bool = False,
-                 iters_per_slide: int = 2, dtype=np.float64):
+                 iters_per_slide: int = 2, dtype=np.float64,
+                 gn_damping: float = 1.0):
         assert config.calib_dim == 0, "streaming ring: no calibration block"
         assert not config.use_per_pose_cam_params
         self.config = config
@@ -242,6 +245,7 @@ class StreamingRing:
         self.caps = caps
         self.use_imu = use_imu
         self.iters = iters_per_slide
+        self.gn_damping = gn_damping
         self.rig = rig
         self.g_vec = jnp.asarray(g_vec)
         self.dtype = np.dtype(dtype)
@@ -384,7 +388,7 @@ class StreamingRing:
             self._carry, fbuf, ibuf, bbuf, self.rig, self.g_vec,
             layouts=self._layouts, config=self.config,
             use_imu=self.use_imu, iters_per_slide=self.iters, W=self.W,
-            L_w=self.caps.L_w)
+            L_w=self.caps.L_w, gn_damping=self.gn_damping)
         self._next_slide = k + 1
         self._retire(k)
         res: Dict[str, Any] = dict(out)

@@ -436,3 +436,35 @@ def test_bcr_full_solver_matches_scan_factor():
     np.testing.assert_allclose(np.asarray(d1.step.delta_p),
                                np.asarray(d2.step.delta_p),
                                rtol=1e-6, atol=1e-9 * scale)
+
+
+def test_grouped_schur_band_matches_pair_table():
+    """The grouped per-landmark banded Schur correction (frontier path,
+    banded._band_schur_grouped) must reproduce the sp-pair-table
+    formulation: same band, same solve."""
+    import ba_tpu.solver.banded as banded_mod
+    from ba_tpu.solver import cg as cg_mod
+    from ba_tpu.solver import step as step_mod
+    from ba_tpu.solver.assemble import dims
+
+    problem, cfg = _problem(n_poses=48, n_lms=160, seed=11)
+    cfg = _banded_cfg(problem, cfg)
+    D, K, P, L, lm, N = dims(problem, cfg)
+    ie = _imu_eval(problem, cfg, True, True)
+    bs, _ = cg_mod.assemble_blocks(problem, cfg, ie, with_precond=False)
+
+    band_pair = banded_mod.band_S(problem, cfg, bs, P, D)
+    old = banded_mod._GROUPED_SP_MIN
+    banded_mod._GROUPED_SP_MIN = 0          # force the grouped path
+    try:
+        band_grp = banded_mod.band_S(problem, cfg, bs, P, D)
+        # end-to-end: one banded GN iteration through the grouped path
+        r_grp = step_mod.gn_iteration(problem, cfg, True, 1.0, False)
+    finally:
+        banded_mod._GROUPED_SP_MIN = old
+    np.testing.assert_allclose(np.asarray(band_grp),
+                               np.asarray(band_pair),
+                               rtol=1e-9, atol=1e-12)
+    r_pair = step_mod.gn_iteration(problem, cfg, True, 1.0, False)
+    np.testing.assert_allclose(float(r_grp.post_cost),
+                               float(r_pair.post_cost), rtol=1e-8)

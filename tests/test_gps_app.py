@@ -83,3 +83,34 @@ def test_end_to_end_reference_log(tmp_path):
     # GPS noise is 0.2 m; the smoothed track must stay within a few sigma
     err = np.linalg.norm(t_opt - t_gps, axis=1)
     assert err.mean() < 1.5, err
+
+
+def test_streaming_gps_tracks_batch(tmp_path):
+    """The online --stream mode (reference f_gps incremental pattern
+    through StreamingRing, pose-graph lm_size=0) must track the
+    25-iteration batch solve on the same log."""
+    path = _write_ref_log(tmp_path, n_gps=16)
+    imu_arr, gps_rows, guesses = app.parse_log(str(path))
+
+    problem, cfg = app.build_problem_from_records(imu_arr, gps_rows,
+                                                  guesses)
+    import jax
+    import jax.tree_util as jtu
+    import jax.numpy as jnp
+
+    problem = jtu.tree_map(
+        lambda a: a.astype(np.float64)
+        if a.dtype == np.float32 else a, problem)
+    p, summ = step_mod.solve(problem, cfg, max_iter=25, gn_damping=0.2,
+                             use_imu=True)
+    assert summ.is_good
+    n = len(gps_rows)
+    t_batch = np.asarray(p.poses.t[:n])
+
+    out = tmp_path / "stream.csv"
+    outs = app.run_streaming(imu_arr, gps_rows, guesses, W=6,
+                             out=str(out))
+    traj = np.loadtxt(out, delimiter=",")[:, 1:4]
+    rmse = np.sqrt(np.mean(np.sum((traj - t_batch) ** 2, axis=1)))
+    assert rmse < 0.5, rmse            # fixed-lag vs full batch, meters
+    assert len(outs) == n - 6 + 1
