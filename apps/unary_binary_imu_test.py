@@ -347,7 +347,19 @@ def run_streaming(imu_arr, gps_rows, guesses, W, out,
 
     from ba_tpu.core import camera as cam_mod
     from ba_tpu.core.problem import BAConfig, Rig
+    from ba_tpu.native import InterpolationBuffer, available
     from ba_tpu.solver.streaming import RingCapacities, StreamingRing
+
+    if len(gps_rows) < W + 1:
+        raise SystemExit(
+            f"--stream {W} needs at least {W + 1} GPS fixes to retire a "
+            f"keyframe; the log has {len(gps_rows)} (use the batch mode)")
+    # same measurement pairing as the batch path: interpolated-boundary
+    # IMU spans through the native InterpolationBuffer when available
+    imu_buf = InterpolationBuffer(6) if available() else None
+    if imu_buf is not None:
+        for row in imu_arr:
+            imu_buf.add(row[0], list(row[1:7]))
 
     cfg = BAConfig(pose_dim=9, lm_size=0, use_dogleg=False,
                    enable_auto_regularization=False)
@@ -360,7 +372,7 @@ def run_streaming(imu_arr, gps_rows, guesses, W, out,
     spans = [int(((imu_arr[:, 0] >= a) & (imu_arr[:, 0] <= b)).sum())
              for a, b in zip(tt[:-1], tt[1:])]
     caps = RingCapacities(L_w=1, n_proj=1, n_imu=max(W - 1, 1),
-                          n_unary=W, imu_span=max(spans + [1]),
+                          n_unary=W, imu_span=max(spans + [1]) + 2,
                           n_ipair=max(W - 1, 1))
     ring = StreamingRing(cfg, W, rig, jnp.asarray([0.0, 0.0, 9.8]),
                          caps, use_imu=True,
@@ -381,9 +393,14 @@ def run_streaming(imu_arr, gps_rows, guesses, W, out,
         g = ring.add_pose(q, t_est, time=fix_t)
         ring.add_unary(g, [1.0, 0, 0, 0], [x, y, z], np.linalg.inv(cov))
         if prev_t is not None:
-            seg = imu_arr[(imu_arr[:, 0] >= prev_t)
-                          & (imu_arr[:, 0] <= fix_t)]
-            ring.add_imu(g - 1, g, seg[:, 1:4], seg[:, 4:7], seg[:, 0])
+            if imu_buf is not None:
+                ts, vals = imu_buf.get_range(prev_t, fix_t)
+                w_m, a_m = vals[:, :3], vals[:, 3:]
+            else:
+                seg = imu_arr[(imu_arr[:, 0] >= prev_t)
+                              & (imu_arr[:, 0] <= fix_t)]
+                ts, w_m, a_m = seg[:, 0], seg[:, 1:4], seg[:, 4:7]
+            ring.add_imu(g - 1, g, w_m, a_m, ts)
         o = ring.push(block=False)
         if o is not None:
             outs.append(o)

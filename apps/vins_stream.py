@@ -22,9 +22,13 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def stream_sequence(problem, cfg, W, iters, caps, warm_drop=0):
+def stream_sequence(problem, cfg, W, iters, caps, warm_drop=1):
     """Drive a built problem's data through a StreamingRing keyframe by
-    keyframe.  Returns (outs, elapsed_steady, n_steady)."""
+    keyframe.  Returns (outs, elapsed_steady, n_steady).
+
+    `warm_drop` >= 1 pushes are drained (compile) before the steady-state
+    timer starts; 0 would silently fold compile time into the rate."""
+    assert warm_drop >= 1
     import jax
 
     from ba_tpu.solver.streaming import StreamingRing

@@ -172,8 +172,8 @@ def band_S(problem: Problem, config: BAConfig, bs: cg_mod.BlockSystem,
     lm = bs.vinv.shape[1]
     grouped = (lm_offset is None
                and idx.sp_i.shape[0] >= _GROUPED_SP_MIN
-               and bs.vinv.shape[0] * B * B * 36 * 4
-               <= _GROUPED_C_BYTES_MAX)
+               and (bs.vinv.shape[0] * B * B * 36
+                    * jnp.dtype(dtype).itemsize) <= _GROUPED_C_BYTES_MAX)
     if grouped:
         corr_g = _band_schur_grouped(idx, Wb, bs.vinv, P, B, dtype)
         grid = _band_self_cross(P, B, D, dtype, bs.pj, bs.ju, bs.u_pose,

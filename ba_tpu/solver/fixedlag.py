@@ -428,4 +428,3 @@ def _run_ring_jit(inputs, carry0, rig, g_vec, config: BAConfig,
 
     carry, outs = jax.lax.scan(slide, carry0, inputs)
     return carry, outs
-    return carry, outs

@@ -115,10 +115,13 @@ class IterResult(NamedTuple):
     # pre_solve_norm/post_solve_norm, cpp:1036-1058: overwritten each
     # inner trial, so these carry the LAST trial — post_solve_norm is the
     # trial's evaluated cost even when the trial was rejected and rolled
-    # back, unlike post_cost which reports the committed state)
-    pre_solve_norm: jax.Array = jnp.zeros(())
-    post_solve_norm: jax.Array = jnp.zeros(())
-    inner_trials: jax.Array = jnp.zeros((), jnp.int32)
+    # back, unlike post_cost which reports the committed state).
+    # None defaults (not jnp.zeros: a device array here would initialize
+    # the JAX backend at import time, before callers can set platform/
+    # x64 config); every construction site passes them explicitly.
+    pre_solve_norm: Optional[jax.Array] = None
+    post_solve_norm: Optional[jax.Array] = None
+    inner_trials: Optional[jax.Array] = None
 
 
 def _cost(problem, config, use_imu, proj_w=None, imu_c9=None):

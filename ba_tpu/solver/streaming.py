@@ -316,7 +316,14 @@ class StreamingRing:
         """In inverse-depth mode the observation from the landmark's
         reference pose+camera is not a residual (it would be identically
         zero, BundleAdjuster.h:488-501) — it is recorded as z_ref so the
-        landmark ray is prepared from it (same as ProblemBuilder)."""
+        landmark ray is prepared from it (same as ProblemBuilder).
+
+        The landmark must already have been added (the ProblemBuilder
+        contract — ids come from add_landmark): a projection referencing
+        a future id would silently drop from every slide whose cached
+        chunk froze its anchor as unknown."""
+        assert lm < self._next_lm, \
+            f"projection references landmark {lm} before add_landmark"
         z = np.asarray(z, self.dtype)
         d = self._lms.get(lm)
         if (self.config.lm_size == 1 and d is not None

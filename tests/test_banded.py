@@ -455,16 +455,22 @@ def test_grouped_schur_band_matches_pair_table():
 
     band_pair = banded_mod.band_S(problem, cfg, bs, P, D)
     old = banded_mod._GROUPED_SP_MIN
+    # the jit cache is NOT keyed on the module global, so clear it around
+    # each gn_iteration call to force a retrace through the intended path
+    # (otherwise both calls run whichever program compiled first and the
+    # end-to-end comparison is vacuous)
     banded_mod._GROUPED_SP_MIN = 0          # force the grouped path
     try:
         band_grp = banded_mod.band_S(problem, cfg, bs, P, D)
-        # end-to-end: one banded GN iteration through the grouped path
+        step_mod.gn_iteration.clear_cache()
         r_grp = step_mod.gn_iteration(problem, cfg, True, 1.0, False)
     finally:
         banded_mod._GROUPED_SP_MIN = old
     np.testing.assert_allclose(np.asarray(band_grp),
                                np.asarray(band_pair),
                                rtol=1e-9, atol=1e-12)
+    step_mod.gn_iteration.clear_cache()
     r_pair = step_mod.gn_iteration(problem, cfg, True, 1.0, False)
+    step_mod.gn_iteration.clear_cache()     # leave no stale path cached
     np.testing.assert_allclose(float(r_grp.post_cost),
                                float(r_pair.post_cost), rtol=1e-8)
