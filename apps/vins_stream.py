@@ -90,6 +90,79 @@ def stream_sequence(problem, cfg, W, iters, caps, warm_drop=1):
     return outs, t_steady, n_steady
 
 
+def stream_many(problems, cfg, W, iters, caps, warm_drop=1):
+    """Round-robin M independent streams (one ring each, SHARING the one
+    resident compiled slide program) — the multi-stream serving shape.
+    Returns (per-stream outs, steady seconds, keyframes retired)."""
+    import jax
+
+    from ba_tpu.solver.streaming import StreamingRing
+
+    M = len(problems)
+    feeds = []
+    rings = []
+    for pb in problems:
+        po, lm, pr, imu = pb.poses, pb.lms, pb.proj, pb.imu
+        feeds.append(dict(
+            po={f: np.asarray(getattr(po, f))
+                for f in ("q", "t", "v", "b", "time", "mask")},
+            lm={f: np.asarray(getattr(lm, f))
+                for f in ("x_w", "ref_cam", "z_ref", "has_z_ref",
+                          "ref_pose", "active")},
+            pr={f: np.asarray(getattr(pr, f))
+                for f in ("z", "cam", "weight", "cond", "valid", "pose",
+                          "lm")},
+            imu={f: np.asarray(getattr(imu, f))
+                 for f in ("w", "a", "time", "meas_valid", "valid",
+                           "pose1")}))
+        rings.append(StreamingRing(cfg, W, pb.rig, pb.g_vec, caps,
+                                   use_imu=True, iters_per_slide=iters))
+    P = int(problems[0].poses.q.shape[0])
+    outs = [[] for _ in range(M)]
+    n_steady = 0
+    t0 = time.perf_counter()
+    for g in range(P):
+        for m in range(M):
+            f, ring = feeds[m], rings[m]
+            ring.add_pose(f["po"]["q"][g], f["po"]["t"][g],
+                          f["po"]["v"][g], f["po"]["b"][g],
+                          float(f["po"]["time"][g]), f["po"]["mask"][g])
+            ref = f["lm"]["ref_pose"]
+            for lid in np.where(f["lm"]["active"] & (ref == g))[0]:
+                z_ref = (f["lm"]["z_ref"][lid]
+                         if bool(f["lm"]["has_z_ref"][lid]) else None)
+                ring.add_landmark(f["lm"]["x_w"][lid], g,
+                                  int(f["lm"]["ref_cam"][lid]),
+                                  z_ref=z_ref)
+            rows = np.where(f["pr"]["valid"] & (f["pr"]["pose"] == g))[0]
+            for r in rows:
+                ring.add_projection(f["pr"]["z"][r], g,
+                                    int(f["pr"]["lm"][r]),
+                                    int(f["pr"]["cam"][r]),
+                                    float(f["pr"]["weight"][r]),
+                                    bool(f["pr"]["cond"][r]))
+            if g >= 1:
+                for r in np.where(f["imu"]["valid"]
+                                  & (f["imu"]["pose1"] == g - 1))[0]:
+                    n = int(f["imu"]["meas_valid"][r].sum())
+                    ring.add_imu(g - 1, g, f["imu"]["w"][r][:n],
+                                 f["imu"]["a"][r][:n],
+                                 f["imu"]["time"][r][:n])
+            o = ring.push(block=False)
+            if o is not None:
+                outs[m].append(o)
+                if m == M - 1 and len(outs[m]) == warm_drop:
+                    for rr in rings:
+                        jax.block_until_ready(rr._carry[1])
+                    t0 = time.perf_counter()
+                if len(outs[m]) > warm_drop:
+                    n_steady += 1
+    for rr in rings:
+        jax.block_until_ready(rr._carry[1])
+    t_steady = time.perf_counter() - t0
+    return [jax.device_get(o) for o in outs], t_steady, n_steady
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--poses", type=int, default=64)
@@ -97,6 +170,9 @@ def main():
     ap.add_argument("--lms", type=int, default=256)
     ap.add_argument("--perturb", type=float, default=0.02)
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--streams", type=int, default=1,
+                    help="interleave M independent streams (multi-vehicle "
+                         "serving; one shared resident program)")
     ap.add_argument("--f64", action="store_true")
     args = ap.parse_args()
 
@@ -132,6 +208,30 @@ def main():
     sched = fixedlag.build_ring_schedule(problem, cfg, args.window,
                                          n_slides)
     caps = RingCapacities.from_schedule(sched)
+
+    if args.streams > 1:
+        problems = [problem]
+        for m in range(1, args.streams):
+            pm, _, _ = sv.build_problem(sim, cfg, perturb=args.perturb,
+                                        seed=8 + m, with_marg_prior=False)
+            if not args.f64:
+                pm = jax.tree_util.tree_map(
+                    lambda a: a.astype(np.float32)
+                    if a.dtype == np.float64 else a, pm)
+            problems.append(prepare_landmarks(pm, cfg))
+        outs, t_steady, n_steady = stream_many(
+            problems, cfg, args.window, args.iters, caps)
+        ates = []
+        for o in outs:
+            t_est = np.stack([x["t"] for x in o])
+            ates.append(sv.ate(None, t_est, None, sim.t_wv[:len(o)]))
+        print(f"{args.streams} streams x {args.poses} keyframes: "
+              f"steady-state {n_steady / max(t_steady, 1e-9):.1f} "
+              f"keyframes/s aggregate "
+              f"({n_steady / max(t_steady, 1e-9) / args.streams:.1f} "
+              f"per stream); ATE {min(ates) * 100:.3f}.."
+              f"{max(ates) * 100:.3f} cm")
+        return 0
 
     t0 = time.perf_counter()
     outs, t_steady, n_steady = stream_sequence(

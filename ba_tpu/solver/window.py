@@ -115,6 +115,16 @@ def marginalize(problem: Problem, config: BAConfig, use_imu: bool,
     keep = (1.0 - Pd)
     H_new = H_new * keep[:, None] * keep[None, :]
     g_new = g_new * keep
+    # PSD safeguard: the Schur subtraction is PSD in exact arithmetic,
+    # but TPU-f32 matmul roundoff can tip an eigenvalue slightly
+    # negative — an INDEFINITE prior makes the window cost unbounded
+    # below and the fixed-lag pipeline diverges (observed: one of 16
+    # otherwise-identical streams walked 15 km off on the chip while
+    # every CPU run stayed at 0.4 cm ATE).  Symmetrize and clip negative
+    # eigenvalues; in f64 the clip is a no-op to roundoff.
+    H_new = 0.5 * (H_new + H_new.T)
+    evals, evecs = jnp.linalg.eigh(H_new)
+    H_new = (evecs * jnp.maximum(evals, 0.0)[None, :]) @ evecs.T
 
     poses = problem.poses
     return MargPrior(H=H_new, g=g_new, lin_q=poses.q, lin_t=poses.t,

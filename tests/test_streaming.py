@@ -88,8 +88,10 @@ def test_streaming_matches_batch_ring():
     for k, o in enumerate(outs_s):
         assert o["pose"] == k
         for f in ("q", "v", "b"):
+            # atol covers tiny components whose relative error is
+            # roundoff-amplified by the prior's eigendecomposition
             np.testing.assert_allclose(
-                o[f], np.asarray(outs_b[f][k]), rtol=1e-7, atol=1e-12,
+                o[f], np.asarray(outs_b[f][k]), rtol=1e-7, atol=1e-10,
                 err_msg=f"slide {k} field {f}")
         np.testing.assert_allclose(o["t"], np.asarray(outs_b["t"][k]),
                                    rtol=1e-7, atol=1e-10,
